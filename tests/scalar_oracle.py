@@ -1,0 +1,272 @@
+"""Independent per-window scalar oracle for the kernel tests.
+
+Direct transcriptions of the published tsfresh 0.20 calculator formulas
+(the semantics the reference invokes at
+/root/reference/t2f/extraction/extractor_single.py:26-32) plus pandas'
+skew/kurt estimators. Deliberately written scalar, one window at a time,
+with a *different* code shape than time2feat_spark.functions.kernels — a
+genuinely independent cross-check of the vectorized implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def mean(x):
+    return float(np.mean(x))
+
+
+def variance(x):
+    return float(np.var(x))
+
+
+def std(x):
+    return float(np.std(x))
+
+
+def median(x):
+    return float(np.median(x))
+
+
+def quantile(x, q):
+    return float(np.quantile(x, q))
+
+
+def abs_energy(x):
+    return float(np.dot(x, x))
+
+
+def root_mean_square(x):
+    return float(np.sqrt(np.mean(np.square(x))))
+
+
+def absolute_maximum(x):
+    return float(np.max(np.abs(x)))
+
+
+def variation_coefficient(x):
+    m = np.mean(x)
+    return float(np.std(x) / m) if m != 0 else float(np.std(x) / m)
+
+
+def skewness(x):
+    return float(pd.Series(x).skew())
+
+
+def kurtosis(x):
+    return float(pd.Series(x).kurtosis())
+
+
+def mean_abs_change(x):
+    return float(np.mean(np.abs(np.diff(x)))) if len(x) > 1 else np.nan
+
+
+def mean_change(x):
+    return float((x[-1] - x[0]) / (len(x) - 1)) if len(x) > 1 else np.nan
+
+
+def mean_second_derivative_central(x):
+    n = len(x)
+    return (
+        float((x[-1] - x[-2] - x[1] + x[0]) / (2 * (n - 2))) if n > 2 else np.nan
+    )
+
+
+def absolute_sum_of_changes(x):
+    return float(np.sum(np.abs(np.diff(x))))
+
+
+def cid_ce(x, normalize):
+    x = np.asarray(x, dtype=np.float64)
+    if normalize:
+        s = np.std(x)
+        if s == 0:
+            return 0.0
+        x = (x - np.mean(x)) / s
+    d = np.diff(x)
+    return float(np.sqrt(np.dot(d, d)))
+
+
+def autocorrelation(x, lag):
+    n = len(x)
+    if n <= lag:
+        return np.nan
+    v = np.var(x)
+    if v == 0:
+        return np.nan
+    m = np.mean(x)
+    return float(np.sum((x[: n - lag] - m) * (x[lag:] - m)) / ((n - lag) * v))
+
+
+def c3(x, lag):
+    n = len(x)
+    if n <= 2 * lag:
+        return np.nan
+    return float(np.mean(x[2 * lag:] * x[lag: n - lag] * x[: n - 2 * lag]))
+
+
+def time_reversal_asymmetry_statistic(x, lag):
+    n = len(x)
+    if n <= 2 * lag:
+        return 0.0
+    a = x[2 * lag:]
+    b = x[lag: n - lag]
+    c = x[: n - 2 * lag]
+    return float(np.mean(a * a * b - b * c * c))
+
+
+def count_above_mean(x):
+    return float(np.sum(x > np.mean(x)))
+
+
+def count_below_mean(x):
+    return float(np.sum(x < np.mean(x)))
+
+
+def _longest_run(b):
+    best = cur = 0
+    for v in b:
+        cur = cur + 1 if v else 0
+        best = max(best, cur)
+    return float(best)
+
+
+def longest_strike_above_mean(x):
+    return _longest_run(x > np.mean(x))
+
+
+def longest_strike_below_mean(x):
+    return _longest_run(x < np.mean(x))
+
+
+def number_crossing_m(x, m):
+    positive = x > m
+    return float(np.where(np.diff(positive))[0].size)
+
+
+def number_peaks(x, n):
+    x = np.asarray(x)
+    x_reduced = x[n:-n]
+    res = None
+    for i in range(1, n + 1):
+        result_first = x_reduced > np.roll(x, i)[n:-n]
+        if res is None:
+            res = result_first
+        else:
+            res &= result_first
+        res &= x_reduced > np.roll(x, -i)[n:-n]
+    return float(np.sum(res)) if res is not None else 0.0
+
+
+def ratio_beyond_r_sigma(x, r):
+    return float(np.sum(np.abs(x - np.mean(x)) > r * np.std(x)) / len(x))
+
+
+def first_location_of_maximum(x):
+    return float(np.argmax(x) / len(x))
+
+
+def last_location_of_maximum(x):
+    return float(1.0 - np.argmax(x[::-1]) / len(x))
+
+
+def first_location_of_minimum(x):
+    return float(np.argmin(x) / len(x))
+
+
+def last_location_of_minimum(x):
+    return float(1.0 - np.argmin(x[::-1]) / len(x))
+
+
+def linear_trend_slope(x):
+    if len(x) < 2:
+        return np.nan
+    t = np.arange(len(x), dtype=np.float64)
+    # least-squares slope = cov(t, x) / var(t)
+    return float(np.polyfit(t, np.asarray(x, dtype=np.float64), 1)[0])
+
+
+def energy_ratio_by_chunks(x, num_segments, segment_focus):
+    full = np.sum(np.square(x))
+    if full == 0:
+        return np.nan
+    chunk = np.array_split(x, num_segments)[segment_focus]
+    return float(np.sum(np.square(chunk)) / full)
+
+
+def binned_entropy(x, max_bins):
+    hist, _ = np.histogram(x, bins=max_bins)
+    probs = hist / len(x)
+    probs = probs[probs > 0]
+    return float(-np.sum(probs * np.log(probs)))
+
+
+def change_quantiles(x, ql, qh, isabs, f_agg):
+    """tsfresh semantics: aggregate diffs with both endpoints inside the
+    [quantile(ql), quantile(qh)] corridor; 0 when degenerate/empty."""
+    x = np.asarray(x, dtype=np.float64)
+    if ql >= qh:
+        return 0.0
+    div = np.diff(x)
+    if isabs:
+        div = np.abs(div)
+    lo, hi = np.quantile(x, ql), np.quantile(x, qh)
+    if lo == hi:
+        return 0.0
+    inside = (x >= lo) & (x <= hi)
+    ind = inside[1:] & inside[:-1]
+    if not ind.any():
+        return 0.0
+    agg = getattr(np, f_agg)
+    return float(agg(div[ind]))
+
+
+def all_features(x, feature_names):
+    """Evaluate the named rollup features for one window."""
+    x = np.asarray(x, dtype=np.float64)
+    out = {
+        "count": float(len(x)),
+        "sum": float(np.sum(x)),
+        "min": float(np.min(x)),
+        "max": float(np.max(x)),
+        "mean": mean(x),
+    }
+    for nm in feature_names:
+        if nm.startswith("q") and nm[1:].isdigit():
+            out[nm] = quantile(x, int(nm[1:]) / 100)
+        elif nm.startswith("autocorr_lag"):
+            out[nm] = autocorrelation(x, int(nm.removeprefix("autocorr_lag")))
+        elif nm.startswith("energy_ratio_chunk"):
+            out[nm] = energy_ratio_by_chunks(
+                x, 10, int(nm.removeprefix("energy_ratio_chunk"))
+            )
+        elif nm.startswith("change_q_"):
+            parts = nm.split("_")  # change_q_{ql}_{qh}_{abs}_{agg}
+            ql, qh, isabs, agg = (
+                int(parts[2]) / 10,
+                int(parts[3]) / 10,
+                bool(int(parts[4])),
+                parts[5],
+            )
+            out[nm] = change_quantiles(x, ql, qh, isabs, agg)
+        elif nm == "cid_ce":
+            out[nm] = cid_ce(x, False)
+        elif nm == "cid_ce_norm":
+            out[nm] = cid_ce(x, True)
+        elif nm == "number_crossing_0":
+            out[nm] = number_crossing_m(x, 0)
+        elif nm == "number_peaks_3":
+            out[nm] = number_peaks(x, 3)
+        elif nm == "ratio_beyond_1_sigma":
+            out[nm] = ratio_beyond_r_sigma(x, 1)
+        elif nm == "binned_entropy_10":
+            out[nm] = binned_entropy(x, 10)
+        elif nm == "c3_lag1":
+            out[nm] = c3(x, 1)
+        elif nm == "time_reversal_asymmetry_lag1":
+            out[nm] = time_reversal_asymmetry_statistic(x, 1)
+        else:
+            out[nm] = globals()[nm](x)
+    return out

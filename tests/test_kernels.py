@@ -1,0 +1,85 @@
+"""Vectorized kernels vs independent scalar oracle (tests/scalar_oracle.py).
+
+Window shapes cover the hazards from SURVEY.md §7.5: tiny windows (n=1,2,3),
+constant series (zero variance), negative/zero crossings, integer-valued
+token data (binned-entropy edge collisions), and ragged pow2-bucket padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from time2feat_spark.functions.kernels import ROLLUP_FEATURES
+from time2feat_spark.operators.rollup import stats_ragged
+
+from scalar_oracle import all_features
+
+RNG = np.random.default_rng(42)
+
+WINDOWS = [
+    np.array([5.0]),
+    np.array([1.0, 1.0]),
+    np.array([3.0, 3.0, 3.0, 3.0]),  # constant
+    np.array([1.0, -2.0, 3.0, -4.0, 5.0]),  # crossings
+    np.array([0.0, 0.0, 1.0, 0.0, -1.0, 0.0]),  # zeros on the boundary
+    RNG.standard_normal(17),
+    RNG.standard_normal(60) * 100,
+    np.floor(RNG.uniform(0, 50257, 64)),  # token-like integers
+    np.floor(RNG.uniform(0, 10, 200)),  # heavy duplicates
+    np.concatenate([np.arange(30.0), np.full(30, 7.0)]),  # trend + plateau
+    RNG.standard_normal(2048),
+]
+
+
+def _vectorized(win: np.ndarray) -> dict[str, float]:
+    flat = win.astype(np.float64)
+    st = stats_ragged(flat, np.array([0]), np.array([len(flat)]), ROLLUP_FEATURES)
+    return {k: float(v[0]) for k, v in st.items()}
+
+
+@pytest.mark.parametrize("idx", range(len(WINDOWS)))
+def test_against_scalar_oracle(idx):
+    win = WINDOWS[idx]
+    got = _vectorized(win)
+    want = all_features(win, ROLLUP_FEATURES)
+    for name, w in want.items():
+        g = got[name]
+        if np.isnan(w):
+            assert np.isnan(g), f"{name}: got {g}, want NaN (win {idx})"
+        else:
+            assert g == pytest.approx(w, rel=1e-10, abs=1e-12), (
+                f"{name}: got {g!r}, want {w!r} (win {idx})"
+            )
+
+
+def test_batch_equals_single():
+    """A window's stats must not depend on which batch it is computed in
+    (pow2-bucket padding => fixed reduction tree)."""
+    wins = [RNG.standard_normal(n) for n in (3, 60, 61, 100, 1000, 2048)]
+    flat = np.concatenate(wins)
+    offs = np.cumsum([0] + [len(w) for w in wins])
+    batched = stats_ragged(flat, offs[:-1], offs[1:], ROLLUP_FEATURES)
+    for i, w in enumerate(wins):
+        solo = stats_ragged(
+            w, np.array([0]), np.array([len(w)]), ROLLUP_FEATURES
+        )
+        for name in batched:
+            b, s = batched[name][i], solo[name][0]
+            assert (np.isnan(b) and np.isnan(s)) or b == s, (
+                f"{name} differs batched vs solo for window {i}: {b} != {s}"
+            )
+
+
+def test_shuffled_batch_order_invariance():
+    """Reordering windows within a batch must not change any value."""
+    wins = [RNG.standard_normal(n) for n in (10, 33, 512, 7, 90)]
+    flat = np.concatenate(wins)
+    offs = np.cumsum([0] + [len(w) for w in wins])
+    a = stats_ragged(flat, offs[:-1], offs[1:], ROLLUP_FEATURES)
+    perm = np.array([3, 0, 4, 2, 1])
+    b = stats_ragged(flat, offs[:-1][perm], offs[1:][perm], ROLLUP_FEATURES)
+    for name in a:
+        x, y = a[name][perm], b[name]
+        both_nan = np.isnan(x) & np.isnan(y)
+        assert np.all(both_nan | (x == y)), name

@@ -1,0 +1,301 @@
+"""Gorilla compression (Facebook Gorilla paper: Pelkonen et al., VLDB 2015).
+
+Two independent streams, matching the tier-table columns (FIXTURES.md F4):
+
+``ts_gorilla`` — delta-of-delta timestamps:
+  header: 64-bit first timestamp; then per point
+  dod == 0                -> '0'
+  dod in [-63, 64]        -> '10'   + 7  bits (dod + 63)
+  dod in [-255, 256]      -> '110'  + 9  bits (dod + 255)
+  dod in [-2047, 2048]    -> '1110' + 12 bits (dod + 2047)
+  else                    -> '1111' + 64 bits two's-complement
+(last bucket is 64-bit instead of the paper's 32 so millisecond timestamps
+with arbitrary gaps round-trip exactly.)
+
+``val_gorilla`` — XOR floats:
+  header: 64-bit first value raw IEEE bits; then per point
+  xor == 0 -> '0'
+  else     -> '1' + '1' + 5 bits leading-zero count (clamped to 31)
+                  + 6 bits meaningful-bit length (64 encoded as 0)
+                  + meaningful bits
+We always emit a fresh leading/length window (control '1'); the paper's
+"reuse previous window" ('10') control introduces a sequential dependency
+that defeats vectorization. Decoders never see control '10'.
+
+Each block is zero-padded to a byte boundary; point count is carried
+out-of-band (the tier table's `count` column).
+
+``encode_ts_blocks`` / ``encode_val_blocks`` are fully vectorized across
+every block in a batch: per-field (code, nbits) pairs are laid out with a
+global cumsum of bit offsets and scattered in <=64 numpy rounds — no
+per-point or per-block Python in the encode path (north_rule: no per-row
+Python). The decoders are sequential bit readers used for verification and
+point queries over small result sets, not in the write hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "encode_ts_blocks",
+    "encode_val_blocks",
+    "decode_ts_block",
+    "decode_val_block",
+]
+
+_U64 = np.uint64
+
+
+def _ts_fields(dod: np.ndarray):
+    """Per-point timestamp (prefix_code, prefix_nbits, payload, payload_nbits)."""
+    a0 = dod == 0
+    a1 = (dod >= -63) & (dod <= 64) & ~a0
+    a2 = (dod >= -255) & (dod <= 256) & ~(a0 | a1)
+    a3 = (dod >= -2047) & (dod <= 2048) & ~(a0 | a1 | a2)
+    a4 = ~(a0 | a1 | a2 | a3)
+
+    pc = np.zeros(dod.shape, dtype=np.uint64)
+    pn = np.ones(dod.shape, dtype=np.int64)
+    pay = np.zeros(dod.shape, dtype=np.uint64)
+    pb = np.zeros(dod.shape, dtype=np.int64)
+
+    pc[a1], pn[a1], pay[a1], pb[a1] = 0b10, 2, (dod[a1] + 63).astype(np.uint64), 7
+    pc[a2], pn[a2], pay[a2], pb[a2] = 0b110, 3, (dod[a2] + 255).astype(np.uint64), 9
+    pc[a3], pn[a3], pay[a3], pb[a3] = 0b1110, 4, (dod[a3] + 2047).astype(np.uint64), 12
+    pc[a4], pn[a4], pay[a4], pb[a4] = 0b1111, 4, dod[a4].astype(np.int64).view(np.uint64), 64
+    return pc, pn, pay, pb
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (valid for x > 0)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (_U64(1) << _U64(shift))
+        bl[big] += shift
+        v[big] >>= _U64(shift)
+    return 64 - (bl + 1)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    lowbit = x & (~x + _U64(1))
+    return 63 - _clz64(lowbit)
+
+
+def _val_fields(xor: np.ndarray):
+    """Per-point value (prefix_code, prefix_nbits, payload, payload_nbits)."""
+    zero = xor == 0
+    nz = ~zero
+    pc = np.zeros(xor.shape, dtype=np.uint64)
+    pn = np.ones(xor.shape, dtype=np.int64)
+    pay = np.zeros(xor.shape, dtype=np.uint64)
+    pb = np.zeros(xor.shape, dtype=np.int64)
+    if nz.any():
+        x = xor[nz]
+        lead = np.minimum(_clz64(x), 31)
+        trail = _ctz64(x)
+        mlen = 64 - lead - trail  # meaningful bits incl. clamp slack, 1..64
+        pc_nz = (_U64(0b11) << _U64(11)) | (lead.astype(np.uint64) << _U64(6)) | (
+            (mlen % 64).astype(np.uint64)
+        )
+        pc[nz] = pc_nz
+        pn[nz] = 13
+        pay[nz] = x >> trail.astype(np.uint64)
+        pb[nz] = mlen
+    return pc, pn, pay, pb
+
+
+def _pack_fields(codes, nbits, block_of_field, nblocks):
+    """Pack variable-width fields MSB-first; blocks byte-aligned.
+    Fields must arrive block-contiguous, in stream order."""
+    blockbits = np.bincount(
+        block_of_field, weights=nbits.astype(np.float64), minlength=nblocks
+    ).astype(np.int64)
+    padded = ((blockbits + 7) // 8) * 8
+    block_bit_start = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(padded, out=block_bit_start[1:])
+
+    ends_in_stream = np.cumsum(nbits)
+    prev_blocks_bits = np.concatenate(([0], np.cumsum(blockbits)))[block_of_field]
+    start_in_block = ends_in_stream - nbits - prev_blocks_bits
+    offsets = block_bit_start[block_of_field] + start_in_block
+
+    total_bits = int(block_bit_start[-1])
+    bitbuf = np.zeros(total_bits, dtype=np.uint8)
+    maxb = int(nbits.max()) if len(nbits) else 0
+    for b in range(maxb):
+        sel = nbits > b
+        if not sel.any():
+            continue
+        shift = (nbits[sel] - 1 - b).astype(np.uint64)
+        bitbuf[offsets[sel] + b] = ((codes[sel] >> shift) & _U64(1)).astype(np.uint8)
+    packed = np.packbits(bitbuf) if total_bits else np.empty(0, dtype=np.uint8)
+    return packed.tobytes(), block_bit_start // 8
+
+
+def _split(buf: bytes, byte_off: np.ndarray) -> list[bytes]:
+    mv = memoryview(buf)
+    return [bytes(mv[byte_off[i]: byte_off[i + 1]]) for i in range(len(byte_off) - 1)]
+
+
+def _layout(nblocks, counts, n, fields4):
+    """Interleave 1 header field + 4 fields per body point, block-major.
+    fields4 = [(code, nbits), ...] for prefix/payload of the body points."""
+    starts = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nbody = n - nblocks
+    nfields = nblocks + 4 * nbody
+    codes = np.zeros(nfields, dtype=np.uint64)
+    fbits = np.zeros(nfields, dtype=np.int64)
+    fblock = np.zeros(nfields, dtype=np.int64)
+
+    fpb = 1 + 4 * (counts - 1)
+    fstart = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(fpb, out=fstart[1:])
+    hdr_idx = fstart[:-1]
+    fblock[hdr_idx] = np.arange(nblocks)
+    fbits[hdr_idx] = 64
+
+    if nbody:
+        is_first = np.zeros(n, dtype=bool)
+        is_first[starts] = True
+        body = ~is_first
+        block_of_point = np.repeat(np.arange(nblocks), counts)
+        within = np.arange(n) - starts[block_of_point]
+        bop = block_of_point[body]
+        base = fstart[bop] + 1 + 4 * (within[body] - 1)
+        for off, (c, nb) in enumerate(fields4):
+            codes[base + off] = c
+            fbits[base + off] = nb
+            fblock[base + off] = bop
+    return codes, fbits, fblock, hdr_idx, starts
+
+
+def encode_ts_blocks(ts: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Delta-of-delta encode many timestamp blocks at once (vectorized)."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nblocks = len(offsets) - 1
+    if nblocks == 0:
+        return []
+    counts = offsets[1:] - offsets[:-1]
+    if (counts <= 0).any():
+        raise ValueError("empty blocks not supported")
+    n = len(ts)
+    starts = offsets[:-1]
+
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = ts[1:] - ts[:-1]
+    delta[starts] = 0
+    prev_delta = np.empty(n, dtype=np.int64)
+    prev_delta[1:] = delta[:-1]
+    prev_delta[starts] = 0
+    # second point of each block encodes its delta as dod vs prev_delta=0
+    sec = starts + 1
+    sec = sec[sec < n]
+    is_first = np.zeros(n, dtype=bool)
+    is_first[starts] = True
+    sec = sec[~is_first[sec]]
+    prev_delta[sec] = 0
+    dod = (delta - prev_delta)[~is_first]
+
+    tpc, tpn, tpay, tpb = _ts_fields(dod)
+    # pad val-field slots with zero-length dummies to reuse the 4-slot layout
+    z = np.zeros(len(dod), dtype=np.uint64)
+    zb = np.zeros(len(dod), dtype=np.int64)
+    codes, fbits, fblock, hdr_idx, _ = _layout(
+        nblocks, counts, n, [(tpc, tpn), (tpay, tpb), (z, zb), (z, zb)]
+    )
+    codes[hdr_idx] = ts[starts].view(np.uint64)
+    keep = fbits > 0
+    buf, byte_off = _pack_fields(codes[keep], fbits[keep], fblock[keep], nblocks)
+    return _split(buf, byte_off)
+
+
+def encode_val_blocks(vals: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """XOR-encode many float blocks at once (vectorized)."""
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nblocks = len(offsets) - 1
+    if nblocks == 0:
+        return []
+    counts = offsets[1:] - offsets[:-1]
+    if (counts <= 0).any():
+        raise ValueError("empty blocks not supported")
+    n = len(vals)
+    starts = offsets[:-1]
+
+    bits = vals.view(np.uint64)
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[1:] = bits[1:] ^ bits[:-1]
+    is_first = np.zeros(n, dtype=bool)
+    is_first[starts] = True
+    xor_body = xor[~is_first]
+
+    vpc, vpn, vpay, vpb = _val_fields(xor_body)
+    z = np.zeros(len(xor_body), dtype=np.uint64)
+    zb = np.zeros(len(xor_body), dtype=np.int64)
+    codes, fbits, fblock, hdr_idx, _ = _layout(
+        nblocks, counts, n, [(vpc, vpn), (vpay, vpb), (z, zb), (z, zb)]
+    )
+    codes[hdr_idx] = bits[starts]
+    keep = fbits > 0
+    buf, byte_off = _pack_fields(codes[keep], fbits[keep], fblock[keep], nblocks)
+    return _split(buf, byte_off)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for b in self.bits[self.pos: self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def decode_ts_block(data: bytes, count: int) -> np.ndarray:
+    """Sequential reference decoder for one timestamp block."""
+    r = _BitReader(data)
+    ts = np.empty(count, dtype=np.int64)
+    t = r.read(64)
+    ts[0] = np.uint64(t).astype(np.int64)
+    delta = 0
+    for i in range(1, count):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+    return ts
+
+
+def decode_val_block(data: bytes, count: int) -> np.ndarray:
+    """Sequential reference decoder for one value block."""
+    r = _BitReader(data)
+    vb = np.empty(count, dtype=np.uint64)
+    vb[0] = r.read(64)
+    for i in range(1, count):
+        if r.read(1) == 0:
+            vb[i] = vb[i - 1]
+        else:
+            if r.read(1) != 1:  # '10' never emitted by this encoder
+                raise ValueError("unsupported control bit sequence")
+            lead = r.read(5)
+            mlen = r.read(6) or 64
+            meaningful = r.read(mlen)
+            trail = 64 - lead - mlen
+            vb[i] = vb[i - 1] ^ (np.uint64(meaningful) << np.uint64(trail))
+    return vb.view(np.float64)

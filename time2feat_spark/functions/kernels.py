@@ -1,0 +1,486 @@
+"""Vectorized time2feat statistic kernels.
+
+Every statistic from the reference's intra-signal feature family that the
+rollup ladder carries (SURVEY.md §7.3) is implemented here as a *batched*
+numpy computation: input is a 2-D float64 matrix ``mat`` of shape
+``(k, w)`` — k windows, each NaN-padded on the right to the common width w —
+plus the per-window valid-point counts. Output is a dict of feature name →
+1-D array of length k.
+
+Semantics follow tsfresh 0.20's public calculator formulas (reference call
+site: /root/reference/t2f/extraction/extractor_single.py:26-32, which uses
+``ComprehensiveFCParameters``), re-derived from the published formulas — no
+reference code is copied. Where tsfresh defers to pandas (skewness/kurtosis)
+we reproduce the pandas G1/G2 bias-corrected estimators.
+
+Determinism: all reductions are plain numpy ufunc reductions over contiguous
+rows of a fixed-width matrix. Both the distributed engine and the
+single-threaded test oracle call *this same function*, so results are
+bit-identical regardless of Spark partitioning/parallelism (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "window_stats",
+    "ROLLUP_FEATURES",
+    "BASIC_FEATURES",
+    "pad_windows",
+]
+
+# Features always emitted (top-level tier-table columns).
+BASIC_FEATURES = ["count", "sum", "min", "max", "mean"]
+
+# Default rollup feature set carried in the `feat` struct (FIXTURES.md F4).
+_QUANTILES = [0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8, 0.9]
+_AUTOCORR_LAGS = [1, 2, 3, 4, 5]
+_N_CHUNKS = 10
+# change_quantiles subset: (ql, qh, isabs, f_agg) — representative corners of
+# tsfresh's default grid (full grid available via `change_quantiles_grid`).
+_CHANGE_Q = [
+    (0.0, 0.2, False, "mean"),
+    (0.0, 0.4, False, "mean"),
+    (0.2, 0.8, False, "mean"),
+    (0.0, 1.0, True, "mean"),
+    (0.0, 1.0, True, "var"),
+    (0.2, 1.0, True, "std"),
+    (0.4, 0.8, True, "median"),
+    (0.6, 1.0, False, "std"),
+]
+
+ROLLUP_FEATURES = (
+    [
+        "variance",
+        "std",
+        "median",
+    ]
+    + [f"q{int(q * 100):02d}" for q in _QUANTILES]
+    + [f"autocorr_lag{l}" for l in _AUTOCORR_LAGS]
+    + [
+        "abs_energy",
+        "root_mean_square",
+        "mean_abs_change",
+        "mean_change",
+        "mean_second_derivative_central",
+        "absolute_sum_of_changes",
+        "cid_ce",
+        "cid_ce_norm",
+        "skewness",
+        "kurtosis",
+        "count_above_mean",
+        "count_below_mean",
+        "longest_strike_above_mean",
+        "longest_strike_below_mean",
+        "number_crossing_0",
+        "number_peaks_3",
+        "first_location_of_maximum",
+        "last_location_of_maximum",
+        "first_location_of_minimum",
+        "last_location_of_minimum",
+        "linear_trend_slope",
+        "binned_entropy_10",
+        "c3_lag1",
+        "time_reversal_asymmetry_lag1",
+        "ratio_beyond_1_sigma",
+        "variation_coefficient",
+        "absolute_maximum",
+    ]
+    + [f"energy_ratio_chunk{i}" for i in range(_N_CHUNKS)]
+    + [
+        f"change_q_{int(ql*10)}_{int(qh*10)}_{int(isabs)}_{agg}"
+        for (ql, qh, isabs, agg) in _CHANGE_Q
+    ]
+)
+
+
+def pad_windows(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Slice ``values`` into k ragged windows [starts[i], ends[i]) and pack
+    them into a right-NaN-padded (k, w) matrix. Vectorized (no per-window
+    Python loop): a flat gather index is built with arange arithmetic.
+    """
+    counts = (ends - starts).astype(np.int64)
+    k = counts.shape[0]
+    if k == 0:
+        return np.empty((0, 0)), counts
+    w = int(counts.max())
+    # gather index: row i, col j -> starts[i] + j  (clamped; mask -> NaN)
+    col = np.arange(w)
+    idx = starts[:, None] + col[None, :]
+    mask = col[None, :] < counts[:, None]
+    idx = np.where(mask, idx, 0)
+    mat = values[idx].astype(np.float64, copy=False)
+    mat = np.where(mask, mat, np.nan)
+    return mat, counts
+
+
+def _nansum(mat: np.ndarray) -> np.ndarray:
+    return np.nansum(mat, axis=1)
+
+
+def _longest_run(b: np.ndarray) -> np.ndarray:
+    """Longest run of True per row of a boolean matrix (NaN cells False)."""
+    k, w = b.shape
+    if w == 0:
+        return np.zeros(k, dtype=np.float64)
+    idx = np.arange(w)
+    # position of the most recent False (or -1) at each column
+    last_false = np.maximum.accumulate(np.where(~b, idx[None, :], -1), axis=1)
+    run = np.where(b, idx[None, :] - last_false, 0)
+    return run.max(axis=1).astype(np.float64)
+
+
+def _linspace_edges(lo: np.ndarray, hi: np.ndarray, nbins: int) -> np.ndarray:
+    """Replicate np.linspace(lo, hi, nbins+1) per row (np.histogram edges)."""
+    step = (hi - lo) / nbins
+    j = np.arange(nbins + 1)
+    edges = lo[:, None] + j[None, :] * step[:, None]
+    edges[:, -1] = hi  # linspace pins the endpoint exactly
+    return edges
+
+
+def _masked_quantile(mat: np.ndarray, q: float | list[float]) -> np.ndarray:
+    """nanquantile with the all-NaN warning suppressed (all-NaN rows occur
+    legitimately: e.g. an empty change_quantiles corridor -> masked to 0)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        return np.nanquantile(mat, q, axis=1, method="linear")
+
+
+def window_stats(
+    mat: np.ndarray,
+    counts: np.ndarray,
+    features: list[str] | None = None,
+) -> dict[str, np.ndarray]:
+    """Compute all rollup statistics for k NaN-padded windows at once.
+
+    mat: (k, w) float64, each row a window's points in time order, right-
+         padded with NaN. counts: (k,) valid point counts (>=1).
+    Returns {feature_name: (k,) float64} for BASIC_FEATURES + requested
+    `features` (default ROLLUP_FEATURES).
+    """
+    if features is None:
+        features = ROLLUP_FEATURES
+    fset = set(features)
+    k, w = mat.shape
+    n = counts.astype(np.float64)
+    out: dict[str, np.ndarray] = {}
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = _nansum(mat)
+        mean = s / n
+        out["count"] = n
+        out["sum"] = s
+        out["min"] = np.nanmin(mat, axis=1) if w else np.full(k, np.nan)
+        out["max"] = np.nanmax(mat, axis=1) if w else np.full(k, np.nan)
+        out["mean"] = mean
+
+        centered = mat - mean[:, None]
+        m2 = _nansum(centered**2) / n  # population variance (ddof=0)
+        std = np.sqrt(m2)
+        sq_sum = _nansum(mat**2)
+
+        if "variance" in fset:
+            out["variance"] = m2
+        if "std" in fset:
+            out["std"] = std
+        if "abs_energy" in fset:
+            out["abs_energy"] = sq_sum
+        if "root_mean_square" in fset:
+            out["root_mean_square"] = np.sqrt(sq_sum / n)
+        if "absolute_maximum" in fset:
+            out["absolute_maximum"] = np.nanmax(np.abs(mat), axis=1)
+        if "variation_coefficient" in fset:
+            out["variation_coefficient"] = std / mean
+        if "median" in fset:
+            out["median"] = _masked_quantile(mat, 0.5)
+
+        qs = [q for q in _QUANTILES if f"q{int(q*100):02d}" in fset]
+        if qs:
+            vals = _masked_quantile(mat, qs)
+            for i, q in enumerate(qs):
+                out[f"q{int(q*100):02d}"] = vals[i]
+
+        # ---- moment shape stats (pandas G1/G2 estimators) ----
+        if "skewness" in fset:
+            m3 = _nansum(centered**3) / n
+            g1 = m3 / np.where(m2 > 0, m2, np.nan) ** 1.5
+            G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            G1 = np.where(m2 == 0, 0.0, G1)
+            out["skewness"] = np.where(counts >= 3, G1, np.nan)
+        if "kurtosis" in fset:
+            m4 = _nansum(centered**4) / n
+            g2 = m4 / np.where(m2 > 0, m2, np.nan) ** 2 - 3.0
+            G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+            G2 = np.where(m2 == 0, 0.0, G2)
+            out["kurtosis"] = np.where(counts >= 4, G2, np.nan)
+
+        # ---- change statistics ----
+        need_diff = fset & {
+            "mean_abs_change",
+            "absolute_sum_of_changes",
+            "cid_ce",
+            "cid_ce_norm",
+        } or any(f.startswith("change_q_") for f in fset)
+        d = mat[:, 1:] - mat[:, :-1] if (w > 1 and need_diff) else None
+        if "mean_abs_change" in fset:
+            asc = _nansum(np.abs(d)) if d is not None else np.zeros(k)
+            out["mean_abs_change"] = np.where(counts > 1, asc / (n - 1), np.nan)
+        if "absolute_sum_of_changes" in fset:
+            out["absolute_sum_of_changes"] = (
+                _nansum(np.abs(d)) if d is not None else np.zeros(k)
+            )
+        if "mean_change" in fset:
+            last = _take_last_valid(mat, counts)
+            out["mean_change"] = np.where(
+                counts > 1, (last - mat[:, 0]) / (n - 1), np.nan
+            )
+        if "mean_second_derivative_central" in fset:
+            # tsfresh: (x[-1] - x[-2] - x[1] + x[0]) / (2 * (n - 2))
+            last = _take_last_valid(mat, counts)
+            last2 = _take_at(mat, np.maximum(counts - 2, 0))
+            x1 = mat[:, 1] if w > 1 else np.full(k, np.nan)
+            out["mean_second_derivative_central"] = np.where(
+                counts > 2, (last - last2 - x1 + mat[:, 0]) / (2 * (n - 2)), np.nan
+            )
+        if "cid_ce" in fset:
+            out["cid_ce"] = np.sqrt(_nansum(d**2)) if d is not None else np.zeros(k)
+        if "cid_ce_norm" in fset:
+            z = (mat - mean[:, None]) / std[:, None]
+            dz = z[:, 1:] - z[:, :-1] if w > 1 else None
+            val = np.sqrt(_nansum(dz**2)) if dz is not None else np.zeros(k)
+            out["cid_ce_norm"] = np.where(std == 0, 0.0, val)
+
+        # ---- autocorrelation family ----
+        for lag in _AUTOCORR_LAGS:
+            name = f"autocorr_lag{lag}"
+            if name not in fset:
+                continue
+            if w > lag:
+                prod = centered[:, :-lag] * centered[:, lag:]
+                num = _nansum(prod)
+            else:
+                num = np.zeros(k)
+            denom = (n - lag) * m2
+            val = num / denom
+            val = np.where((counts > lag) & (m2 > 0), val, np.nan)
+            out[name] = val
+        if "c3_lag1" in fset:
+            lag = 1
+            if w > 2 * lag:
+                prod = mat[:, 2 * lag :] * mat[:, lag:-lag] * mat[:, : -2 * lag]
+                val = _nansum(prod) / (n - 2 * lag)
+            else:
+                val = np.full(k, np.nan)
+            out["c3_lag1"] = np.where(counts > 2 * lag, val, np.nan)
+        if "time_reversal_asymmetry_lag1" in fset:
+            lag = 1
+            if w > 2 * lag:
+                a = mat[:, 2 * lag :]
+                b = mat[:, lag:-lag]
+                c = mat[:, : -2 * lag]
+                val = _nansum(a * a * b - b * c * c) / (n - 2 * lag)
+            else:
+                val = np.full(k, np.nan)
+            out["time_reversal_asymmetry_lag1"] = np.where(
+                counts > 2 * lag, val, 0.0
+            )
+
+        # ---- counts / streaks / crossings ----
+        above = mat > mean[:, None]
+        below = mat < mean[:, None]
+        if "count_above_mean" in fset:
+            out["count_above_mean"] = above.sum(axis=1).astype(np.float64)
+        if "count_below_mean" in fset:
+            out["count_below_mean"] = below.sum(axis=1).astype(np.float64)
+        if "longest_strike_above_mean" in fset:
+            out["longest_strike_above_mean"] = _longest_run(above)
+        if "longest_strike_below_mean" in fset:
+            out["longest_strike_below_mean"] = _longest_run(below)
+        if "number_crossing_0" in fset:
+            pos = mat > 0
+            if w > 1:
+                change = pos[:, 1:] != pos[:, :-1]
+                validpair = np.arange(1, w)[None, :] < counts[:, None]
+                out["number_crossing_0"] = (change & validpair).sum(axis=1).astype(
+                    np.float64
+                )
+            else:
+                out["number_crossing_0"] = np.zeros(k)
+        if "number_peaks_3" in fset:
+            out["number_peaks_3"] = _number_peaks(mat, 3)
+        if "ratio_beyond_1_sigma" in fset:
+            dev = np.abs(mat - mean[:, None]) > std[:, None]
+            out["ratio_beyond_1_sigma"] = dev.sum(axis=1) / n
+
+        # ---- locations (relative, tsfresh semantics: argmax/len) ----
+        if fset & {
+            "first_location_of_maximum",
+            "last_location_of_maximum",
+            "first_location_of_minimum",
+            "last_location_of_minimum",
+        }:
+            mx = np.nanmax(mat, axis=1)[:, None]
+            mn = np.nanmin(mat, axis=1)[:, None]
+            idxs = np.arange(w)[None, :]
+            big = np.float64(w + 1)
+            if "first_location_of_maximum" in fset:
+                first_mx = np.where(mat == mx, idxs, big).min(axis=1)
+                out["first_location_of_maximum"] = first_mx / n
+            if "last_location_of_maximum" in fset:
+                last_mx = np.where(mat == mx, idxs, -1).max(axis=1)
+                out["last_location_of_maximum"] = (last_mx + 1) / n
+            if "first_location_of_minimum" in fset:
+                first_mn = np.where(mat == mn, idxs, big).min(axis=1)
+                out["first_location_of_minimum"] = first_mn / n
+            if "last_location_of_minimum" in fset:
+                last_mn = np.where(mat == mn, idxs, -1).max(axis=1)
+                out["last_location_of_minimum"] = (last_mn + 1) / n
+
+        # ---- linear trend (least-squares slope over t = 0..n-1) ----
+        if "linear_trend_slope" in fset:
+            t = np.arange(w, dtype=np.float64)[None, :]
+            tmask = np.where(np.isnan(mat), np.nan, t)
+            st = _nansum(tmask)
+            stt = _nansum(tmask**2)
+            stx = _nansum(np.where(np.isnan(mat), np.nan, t * mat))
+            denom = stt - st * st / n
+            slope = (stx - st * s / n) / denom
+            out["linear_trend_slope"] = np.where(counts > 1, slope, np.nan)
+
+        # ---- energy ratio by chunks (tsfresh np.array_split semantics) ----
+        er = [f for f in fset if f.startswith("energy_ratio_chunk")]
+        if er:
+            csum = np.nancumsum(mat**2, axis=1)  # (k, w) prefix energy
+            total = np.where(sq_sum == 0, np.nan, sq_sum)
+            q_, r_ = np.divmod(counts, _N_CHUNKS)
+            for i in range(_N_CHUNKS):
+                name = f"energy_ratio_chunk{i}"
+                if name not in fset:
+                    continue
+                # np.array_split boundaries for length n into 10 parts
+                start = i * q_ + np.minimum(i, r_)
+                end = (i + 1) * q_ + np.minimum(i + 1, r_)
+                e_end = _prefix_at(csum, end)
+                e_start = _prefix_at(csum, start)
+                out[name] = (e_end - e_start) / total
+
+        # ---- binned entropy (np.histogram-exact edges) ----
+        if "binned_entropy_10" in fset:
+            out["binned_entropy_10"] = _binned_entropy(mat, counts, 10)
+
+        # ---- change_quantiles ----
+        cq = [c for c in _CHANGE_Q
+              if f"change_q_{int(c[0]*10)}_{int(c[1]*10)}_{int(c[2])}_{c[3]}" in fset]
+        if cq and d is not None:
+            _change_quantiles(out, mat, d, counts, cq)
+        elif cq:
+            for (ql, qh, isabs, agg) in cq:
+                out[f"change_q_{int(ql*10)}_{int(qh*10)}_{int(isabs)}_{agg}"] = (
+                    np.zeros(k)
+                )
+
+    return out
+
+
+def _take_last_valid(mat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    return _take_at(mat, counts - 1)
+
+
+def _take_at(mat: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    k = mat.shape[0]
+    return mat[np.arange(k), np.clip(pos, 0, max(mat.shape[1] - 1, 0))]
+
+
+def _prefix_at(csum: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Energy prefix sum up to (exclusive) position pos per row; pos==0 -> 0."""
+    k = csum.shape[0]
+    val = csum[np.arange(k), np.clip(pos - 1, 0, csum.shape[1] - 1)]
+    return np.where(pos > 0, val, 0.0)
+
+
+def _number_peaks(mat: np.ndarray, nsup: int) -> np.ndarray:
+    """tsfresh number_peaks(x, n): count of j with x[j] > x[j±i] ∀ i=1..n.
+    NaN padding auto-excludes peaks near the ragged end (NaN compares False).
+    """
+    k, w = mat.shape
+    if w <= 2 * nsup:
+        return np.zeros(k)
+    core = mat[:, nsup:-nsup]
+    ok = np.ones(core.shape, dtype=bool)
+    for i in range(1, nsup + 1):
+        left = mat[:, nsup - i : -nsup - i]
+        right_hi = -nsup + i
+        right = mat[:, nsup + i :] if right_hi == 0 else mat[:, nsup + i : right_hi]
+        with np.errstate(invalid="ignore"):
+            ok &= (core > left) & (core > right)
+    return ok.sum(axis=1).astype(np.float64)
+
+
+def _binned_entropy(mat: np.ndarray, counts: np.ndarray, nbins: int) -> np.ndarray:
+    k, w = mat.shape
+    lo = np.nanmin(mat, axis=1)
+    hi = np.nanmax(mat, axis=1)
+    same = hi == lo
+    edges = _linspace_edges(lo, np.where(same, lo + 1, hi), nbins)
+    # bin index per np.histogram: count of interior edges <= x (right-open
+    # bins; the max lands in the last bin because edge[-1] comparisons use <=)
+    interior = edges[:, 1:-1]  # (k, nbins-1)
+    b = (mat[:, :, None] >= interior[:, None, :]).sum(axis=2)  # (k, w)
+    b = np.where(np.isnan(mat), -1, b)
+    hist = np.zeros((k, nbins), dtype=np.float64)
+    rows = np.repeat(np.arange(k), w)
+    flat = b.ravel()
+    valid = flat >= 0
+    np.add.at(hist, (rows[valid], flat[valid].astype(np.int64)), 1.0)
+    probs = hist / counts[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(probs > 0, probs * np.log(probs), 0.0)
+    return -terms.sum(axis=1)
+
+
+def _change_quantiles(
+    out: dict[str, np.ndarray],
+    mat: np.ndarray,
+    d: np.ndarray,
+    counts: np.ndarray,
+    configs: list[tuple[float, float, bool, str]],
+) -> None:
+    """tsfresh change_quantiles: aggregate diffs whose endpoints both lie in
+    the [quantile(ql), quantile(qh)] corridor; 0 when corridor degenerate or
+    empty. Vectorized across windows via masked aggregation.
+    """
+    k = mat.shape[0]
+    needed_q = sorted({q for c in configs for q in (c[0], c[1])})
+    qvals = _masked_quantile(mat, needed_q)  # (len(needed_q), k)
+    qmap = {q: qvals[i] for i, q in enumerate(needed_q)}
+    absd = np.abs(d)
+    for (ql, qh, isabs, agg) in configs:
+        name = f"change_q_{int(ql*10)}_{int(qh*10)}_{int(isabs)}_{agg}"
+        if ql >= qh:
+            out[name] = np.zeros(k)
+            continue
+        lo, hi = qmap[ql], qmap[qh]
+        degenerate = lo == hi  # pd.qcut raises ValueError -> 0
+        with np.errstate(invalid="ignore"):
+            inb = (mat >= lo[:, None]) & (mat <= hi[:, None])
+        pair = inb[:, 1:] & inb[:, :-1]  # both endpoints inside corridor
+        sel = np.where(pair, absd if isabs else d, np.nan)
+        cnt = pair.sum(axis=1).astype(np.float64)
+        empty = cnt == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if agg == "mean":
+                val = np.nansum(sel, axis=1) / cnt
+            elif agg == "median":
+                val = _masked_quantile(sel, 0.5) if sel.shape[1] else np.zeros(k)
+            else:  # var / std, ddof=0 (np.var / np.std defaults)
+                msum = np.nansum(sel, axis=1)
+                mmean = msum / cnt
+                dev = np.where(pair, (sel - mmean[:, None]) ** 2, np.nan)
+                var = np.nansum(dev, axis=1) / cnt
+                val = np.sqrt(var) if agg == "std" else var
+        val = np.where(empty | degenerate, 0.0, val)
+        out[name] = val

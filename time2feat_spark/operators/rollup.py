@@ -1,0 +1,367 @@
+"""Tier-ladder rollup operator (raw -> 1m -> 1h -> 1d).
+
+The engine's workhorse (SURVEY.md §2.10, §7). Two input shapes:
+
+* ``rollup_sequences`` — the canonical token table
+  (doc_id, tokens:array<int32>, n_tok, source); token position k has the
+  implicit timestamp ``t0 + k*tick``. Because every row is a whole series,
+  this path is **shuffle-free**: a single ``mapInPandas`` slices each doc's
+  array into nested tier windows and emits all tiers in one pass over the
+  raw data (the reference computes everything from one full-series pass too,
+  /root/reference/t2f/extraction/extractor.py:108-126 — here projected onto
+  nested tumbling windows, SURVEY.md §7.4).
+
+* ``rollup_points`` — long/event shape (key, ts, value), e.g. the events
+  table. Points of one series must be co-located per day-chunk, so this
+  path shuffles once on ``(key, 1d-chunk)`` and runs the same kernels via
+  ``applyInPandas``. Chunking by the coarsest tier bounds group size (skew
+  relief) without splitting any window across groups.
+
+Determinism (SURVEY.md §7.5): all statistics come from
+``kernels.window_stats`` on matrices padded to *power-of-two width buckets*
+— a window of n points is always computed in a matrix of width
+next_pow2(n), regardless of which batch/partition it lands in, so float
+reduction trees are fixed and results are bit-identical under any
+parallelism. The single-threaded test oracle calls the same functions.
+
+No per-row Python anywhere: batches are processed with vectorized numpy,
+Gorilla blocks are bit-packed globally per batch (functions/gorilla.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.kernels import ROLLUP_FEATURES, window_stats
+from ..functions.gorilla import encode_ts_blocks, encode_val_blocks
+
+DEFAULT_TIERS = [("1m", 60), ("1h", 3600), ("1d", 86400)]
+T0_MS = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+@dataclass
+class RollupConfig:
+    tiers: list[tuple[str, int]] = field(default_factory=lambda: list(DEFAULT_TIERS))
+    t0_ms: int = T0_MS
+    tick_ms: int = 1000
+    features: list[str] = field(default_factory=lambda: list(ROLLUP_FEATURES))
+    compress: bool = True
+    include_raw: bool = True  # emit a `raw` tier: per-series Gorilla blocks
+
+
+def _next_pow2(x: np.ndarray) -> np.ndarray:
+    return np.power(2, np.ceil(np.log2(np.maximum(x, 1))).astype(np.int64))
+
+
+def stats_ragged(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    features: list[str],
+) -> dict[str, np.ndarray]:
+    """window_stats over ragged windows, batch-invariant via pow2 buckets."""
+    counts = (ends - starts).astype(np.int64)
+    k = len(counts)
+    out: dict[str, np.ndarray] | None = None
+    if k == 0:
+        names = ["count", "sum", "min", "max", "mean"] + list(features)
+        return {nm: np.empty(0) for nm in names}
+    buckets = _next_pow2(counts)
+    for b in np.unique(buckets):
+        sel = np.nonzero(buckets == b)[0]
+        w = int(b)
+        col = np.arange(w)
+        idx = starts[sel][:, None] + col[None, :]
+        mask = col[None, :] < counts[sel][:, None]
+        mat = flat[np.where(mask, idx, 0)].astype(np.float64, copy=False)
+        mat = np.where(mask, mat, np.nan)
+        st = window_stats(mat, counts[sel], features)
+        if out is None:
+            out = {nm: np.empty(k, dtype=v.dtype) for nm, v in st.items()}
+        for nm, v in st.items():
+            out[nm][sel] = v
+    assert out is not None
+    return out
+
+
+# ---------------------------------------------------------------- sequences
+
+def rollup_sequences_pdf(pdf: pd.DataFrame, cfg: RollupConfig) -> pd.DataFrame:
+    """Roll one pandas batch of sequence rows into all tiers (flat columns).
+
+    Shared verbatim by the Spark path (inside mapInPandas) and the
+    single-threaded oracle — that sharing is what makes tier outputs exactly
+    partition-invariant.
+    """
+    n_docs = len(pdf)
+    if n_docs == 0:
+        return _empty_flat(cfg)
+    n_tok = pdf["n_tok"].to_numpy().astype(np.int64)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    flat = np.concatenate([np.asarray(t) for t in pdf["tokens"]]).astype(
+        np.float64, copy=False
+    )
+    total = int(offsets[-1])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_tok)
+    ts_flat = cfg.t0_ms + pos_in_doc * cfg.tick_ms
+
+    frames = []
+    doc_ids = pdf["doc_id"].to_numpy()
+    sources = pdf["source"].to_numpy()
+
+    if cfg.include_raw:
+        frames.append(
+            _raw_tier_frame(doc_ids, sources, n_tok, offsets, ts_flat, flat, cfg)
+        )
+
+    for tier_name, tier_sec in cfg.tiers:
+        tt = tier_sec * 1000 // cfg.tick_ms  # window width in ticks
+        nw = (n_tok + tt - 1) // tt
+        nw_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(nw, out=nw_off[1:])
+        k = int(nw_off[-1])
+        doc_of_w = np.repeat(np.arange(n_docs), nw)
+        j = np.arange(k, dtype=np.int64) - np.repeat(nw_off[:-1], nw)
+        w_starts = offsets[:-1][doc_of_w] + j * tt
+        w_ends = np.minimum(w_starts + tt, offsets[1:][doc_of_w])
+
+        st = stats_ragged(flat, w_starts, w_ends, cfg.features)
+        res = {
+            "source": sources[doc_of_w],
+            "doc_id": doc_ids[doc_of_w],
+            "tier": np.full(k, tier_name, dtype=object),
+            "window_start_ms": cfg.t0_ms + j * tt * cfg.tick_ms,
+            "count": st["count"].astype(np.int64),
+        }
+        for nm in ("sum", "min", "max", "mean"):
+            res[nm] = st[nm]
+        for nm in cfg.features:
+            res[f"feat_{nm}"] = st[nm]
+        if cfg.compress:
+            # windows tile each doc contiguously and docs are flat-contiguous,
+            # so block offsets are just the window starts + final end
+            boffs = np.append(w_starts, total)
+            res["ts_gorilla"] = encode_ts_blocks(ts_flat, boffs)
+            res["val_gorilla"] = encode_val_blocks(flat, boffs)
+        else:
+            res["ts_gorilla"] = None
+            res["val_gorilla"] = None
+        res["fill_method"] = np.full(k, "none", dtype=object)
+        frames.append(pd.DataFrame(res))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _raw_tier_frame(doc_ids, sources, n_tok, offsets, ts_flat, flat, cfg):
+    n_docs = len(doc_ids)
+    if cfg.compress:
+        ts_blocks = encode_ts_blocks(ts_flat, offsets)
+        val_blocks = encode_val_blocks(flat, offsets)
+    else:
+        ts_blocks = [None] * n_docs
+        val_blocks = [None] * n_docs
+    base = {
+        "source": sources,
+        "doc_id": doc_ids,
+        "tier": np.full(n_docs, "raw", dtype=object),
+        "window_start_ms": np.full(n_docs, cfg.t0_ms, dtype=np.int64),
+        "count": n_tok,
+        "sum": np.full(n_docs, np.nan),
+        "min": np.full(n_docs, np.nan),
+        "max": np.full(n_docs, np.nan),
+        "mean": np.full(n_docs, np.nan),
+    }
+    for nm in cfg.features:
+        base[f"feat_{nm}"] = np.full(n_docs, np.nan)
+    base["ts_gorilla"] = ts_blocks
+    base["val_gorilla"] = val_blocks
+    base["fill_method"] = np.full(n_docs, "none", dtype=object)
+    return pd.DataFrame(base)
+
+
+def flat_schema(cfg: RollupConfig) -> StructType:
+    fields = [
+        StructField("source", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("tier", StringType()),
+        StructField("window_start_ms", LongType()),
+        StructField("count", LongType()),
+        StructField("sum", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("mean", DoubleType()),
+    ]
+    fields += [StructField(f"feat_{nm}", DoubleType()) for nm in cfg.features]
+    fields += [
+        StructField("ts_gorilla", BinaryType()),
+        StructField("val_gorilla", BinaryType()),
+        StructField("fill_method", StringType()),
+    ]
+    return StructType(fields)
+
+
+def _empty_flat(cfg: RollupConfig) -> pd.DataFrame:
+    cols = [f.name for f in flat_schema(cfg)]
+    return pd.DataFrame({c: [] for c in cols})
+
+
+def rollup_sequences(df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
+    """Shuffle-free tier-ladder rollup of the sequences table.
+
+    Returns the flat (un-nested) tier frame; use ``assemble`` to get the
+    FIXTURES.md F4 schema with the `feat` struct and timestamp column.
+    """
+    cfg = cfg or RollupConfig()
+    schema = flat_schema(cfg)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield rollup_sequences_pdf(pdf, cfg)
+
+    return df.mapInPandas(run, schema)
+
+
+def assemble(flat_df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
+    """Flat tier frame -> FIXTURES.md F4 schema (feat struct + timestamp)."""
+    cfg = cfg or RollupConfig()
+    feat = F.struct(
+        *[F.col(f"feat_{nm}").alias(nm) for nm in cfg.features]
+    ).alias("feat")
+    return flat_df.select(
+        "source",
+        "doc_id",
+        "tier",
+        F.timestamp_millis(F.col("window_start_ms")).alias("window_start"),
+        "count",
+        "sum",
+        "min",
+        "max",
+        "mean",
+        feat,
+        "ts_gorilla",
+        "val_gorilla",
+        "fill_method",
+    )
+
+
+# ------------------------------------------------------------------- points
+
+def rollup_points_pdf(
+    pdf: pd.DataFrame,
+    cfg: RollupConfig,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+) -> pd.DataFrame:
+    """Roll one (key, day-chunk) group of timestamped points into all tiers."""
+    if len(pdf) == 0:
+        return _empty_points_flat(cfg, key_cols)
+    pdf = pdf.sort_values(ts_col, kind="mergesort")
+    ts = pdf[ts_col].to_numpy()
+    if np.issubdtype(ts.dtype, np.datetime64):
+        ts_ms = ts.astype("datetime64[ms]").astype(np.int64)
+    else:
+        ts_ms = ts.astype(np.int64)
+    vals = pdf[val_col].to_numpy().astype(np.float64, copy=False)
+    n = len(vals)
+
+    frames = []
+    for tier_name, tier_sec in cfg.tiers:
+        ms = tier_sec * 1000
+        wid = ts_ms // ms  # window id per point (sorted, non-decreasing)
+        boundaries = np.nonzero(np.diff(wid))[0] + 1
+        w_starts = np.concatenate(([0], boundaries))
+        w_ends = np.concatenate((boundaries, [n]))
+        st = stats_ragged(vals, w_starts, w_ends, cfg.features)
+        k = len(w_starts)
+        res = {c: np.repeat(pdf[c].iloc[0], k) for c in key_cols}
+        res["tier"] = np.full(k, tier_name, dtype=object)
+        res["window_start_ms"] = wid[w_starts] * ms
+        res["count"] = st["count"].astype(np.int64)
+        for nm in ("sum", "min", "max", "mean"):
+            res[nm] = st[nm]
+        for nm in cfg.features:
+            res[f"feat_{nm}"] = st[nm]
+        if cfg.compress:
+            boffs = np.append(w_starts, n)
+            res["ts_gorilla"] = encode_ts_blocks(ts_ms, boffs)
+            res["val_gorilla"] = encode_val_blocks(vals, boffs)
+        else:
+            res["ts_gorilla"] = None
+            res["val_gorilla"] = None
+        res["fill_method"] = np.full(k, "none", dtype=object)
+        frames.append(pd.DataFrame(res))
+    return pd.concat(frames, ignore_index=True)
+
+
+def points_flat_schema(cfg: RollupConfig, key_fields: list[StructField]) -> StructType:
+    fields = list(key_fields) + [
+        StructField("tier", StringType()),
+        StructField("window_start_ms", LongType()),
+        StructField("count", LongType()),
+        StructField("sum", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("mean", DoubleType()),
+    ]
+    fields += [StructField(f"feat_{nm}", DoubleType()) for nm in cfg.features]
+    fields += [
+        StructField("ts_gorilla", BinaryType()),
+        StructField("val_gorilla", BinaryType()),
+        StructField("fill_method", StringType()),
+    ]
+    return StructType(fields)
+
+
+def _empty_points_flat(cfg: RollupConfig, key_cols: list[str]) -> pd.DataFrame:
+    names = key_cols + [
+        "tier", "window_start_ms", "count", "sum", "min", "max", "mean",
+    ] + [f"feat_{nm}" for nm in cfg.features] + [
+        "ts_gorilla", "val_gorilla", "fill_method",
+    ]
+    return pd.DataFrame({c: [] for c in names})
+
+
+def rollup_points(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    cfg: RollupConfig | None = None,
+) -> DataFrame:
+    """Tier-ladder rollup over long-format points.
+
+    One shuffle on (key, coarsest-tier chunk): chunking bounds group sizes
+    for hot keys (skew) while windows of every tier nest inside the chunk,
+    so holistic stats stay exact.
+    """
+    cfg = cfg or RollupConfig(include_raw=False)
+    coarsest_ms = max(sec for _, sec in cfg.tiers) * 1000
+    key_fields = [df.schema[c] for c in key_cols]
+    schema = points_flat_schema(cfg, key_fields)
+
+    chunked = df.withColumn(
+        "_chunk",
+        (F.unix_millis(F.col(ts_col)) / F.lit(coarsest_ms)).cast("long"),
+    )
+
+    def run(key, pdf):
+        return rollup_points_pdf(
+            pdf.drop(columns=["_chunk"]), cfg, key_cols, ts_col, val_col
+        )
+
+    return chunked.groupBy(*key_cols, "_chunk").applyInPandas(run, schema)
