@@ -1,38 +1,952 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship tier-ladder rollup on the driver's
+sf0.001 events table. `queries()` exposes every implemented operator
+(engine rollups/gap-fill over events, the canonical sequences ladder,
+relational operators, dedup/text/similarity); `oracle_sql()` has the
+DuckDB-equivalent SQL for everything SQL-expressible.
+
+Conventions shared by both sides (so value hashes match):
+- every computed column is aliased identically;
+- doubles rounded to 4 decimals (6 for ratios <= 1);
+- NaN converted to NULL on the Spark side;
+- windows output as epoch-ms bigints (no timestamp-type comparisons);
+- ties broken by explicit secondary sort keys.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from time2feat_spark.operators.rollup import (
+    RollupConfig,
+    assemble,
+    rollup_points,
+    rollup_sequences,
+)
+from time2feat_spark.operators import dedup as D
+from time2feat_spark.operators import text as T
+from time2feat_spark.operators import similarity as S
+from time2feat_spark.generator import write_sequences
+
+SEQ_CACHE = "/root/repo/.cache"
+SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _seq_path(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return f"{SEQ_CACHE}/sequences_{base}.parquet"
+
+
+def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequences table cached as parquet so the DuckDB oracle
+    can read the identical rows (generator is seeded; same rows always)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = _seq_path(sf_dir)
+    if not os.path.exists(path + "/_SUCCESS"):
+        write_sequences(spark, path, SEQ_ROWS.get(base, 1500))
+    return spark.read.parquet(path)
+
+
+def _nn(c):
+    """NaN -> NULL (SQL semantics for the value-hash compare)."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+def _round_bin(c, d: int):
+    """Round like DuckDB/std::round — on the exact binary value:
+    sign(x) * floor(|x|*10^d + 0.5) / 10^d.
+
+    Spark's F.round instead rounds the shortest decimal representation
+    (BigDecimal.valueOf), which disagrees with DuckDB whenever the true
+    value ends exactly in ...5 — this expression is bit-identical to
+    DuckDB's round (verified on 900k adversarial values)."""
+    s = F.lit(float(10**d))
+    scaled = c * s
+    return F.floor(F.abs(scaled) + F.lit(0.5)) * F.signum(scaled) / s
+
+
+def _r4(c):
+    """Double rounding: the inner round(7) collapses the two sides' floats
+    onto one value when the true result sits exactly on a .00005 boundary
+    (common with 2-decimal source data), so the outer round(4) agrees."""
+    return _round_bin(_round_bin(_nn(c), 7), 4)
+
+
+def _r2(c):
+    """Same trick for large sums: inner 5, outer 2."""
+    return _round_bin(_round_bin(_nn(c), 5), 2)
+
+
+# --------------------------------------------------------------------------
+# engine rollups over events
+# --------------------------------------------------------------------------
+
+_EV_WINDOW_SQL = """
+    SELECT event_type,
+           CAST(floor(epoch_ms(ts) / {ms}) AS BIGINT) * {ms} AS window_ms,
+           epoch_ms(ts) AS tms, value
+    FROM events
+"""
+
+
+def _events_rollup(spark, sf_dir, tier_name, tier_sec, key="event_type",
+                   gapfill=None, features=None):
+    cfg = RollupConfig(
+        tiers=[(tier_name, tier_sec)],
+        include_raw=False,
+        compress=False,
+        gapfill=gapfill,
+        features=features if features is not None else [
+            "variance", "std", "median", "q10", "q90", "root_mean_square",
+            "mean_abs_change", "absolute_sum_of_changes", "autocorr_lag1",
+            "count_above_mean", "count_below_mean", "linear_trend_slope",
+            "skewness", "kurtosis", "mean_change",
+        ],
+    )
+    ev = _t(spark, sf_dir, "events")
+    return rollup_points(ev, [key], "ts", "value", cfg)
+
+
+def q_rollup_1h_basic(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1h", 3600, features=[])
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("sum")).alias("sum_v"),
+        _r4(F.col("min")).alias("min_v"),
+        _r4(F.col("max")).alias("max_v"),
+        _r4(F.col("mean")).alias("mean_v"),
+    )
+
+
+SQL_ROLLUP_1H_BASIC = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=3600000)})
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(sum(value), 7), 4) AS sum_v,
+       round(round(min(value), 7), 4) AS min_v,
+       round(round(max(value), 7), 4) AS max_v,
+       round(round(avg(value), 7), 4) AS mean_v
+FROM w GROUP BY event_type, window_ms
+"""
+
+
+def q_rollup_1d_dispersion(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_std")).alias("std_v"),
+        _r4(F.col("feat_median")).alias("median_v"),
+        _r4(F.col("feat_q10")).alias("q10_v"),
+        _r4(F.col("feat_q90")).alias("q90_v"),
+        _r4(F.col("feat_root_mean_square")).alias("rms_v"),
+    )
+
+
+SQL_ROLLUP_1D_DISPERSION = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)})
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(stddev_pop(value), 7), 4) AS std_v,
+       round(round(median(value), 7), 4) AS median_v,
+       round(round(quantile_cont(value, 0.1), 7), 4) AS q10_v,
+       round(round(quantile_cont(value, 0.9), 7), 4) AS q90_v,
+       round(round(sqrt(avg(value * value)), 7), 4) AS rms_v
+FROM w GROUP BY event_type, window_ms
+"""
+
+
+def q_rollup_1d_shape(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.where(F.col("count") >= 4).select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_skewness")).alias("skew_v"),
+        _r4(F.col("feat_kurtosis")).alias("kurt_v"),
+    )
+
+
+SQL_ROLLUP_1D_SHAPE = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)})
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(skewness(value), 7), 4) AS skew_v,
+       round(round(kurtosis(value), 7), 4) AS kurt_v
+FROM w GROUP BY event_type, window_ms
+HAVING count(*) >= 4
+"""
+
+
+def q_rollup_1d_change(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_mean_abs_change")).alias("mac_v"),
+        _r4(F.col("feat_absolute_sum_of_changes")).alias("asc_v"),
+        _r4(F.col("feat_mean_change")).alias("mc_v"),
+    )
+
+
+SQL_ROLLUP_1D_CHANGE = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
+d AS (
+  SELECT event_type, window_ms, value, tms,
+         value - lag(value) OVER (PARTITION BY event_type, window_ms
+                                  ORDER BY tms, value) AS dv,
+         first_value(value) OVER (PARTITION BY event_type, window_ms
+                                  ORDER BY tms, value) AS first_v,
+         last_value(value) OVER (PARTITION BY event_type, window_ms
+                                 ORDER BY tms, value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+  FROM w)
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(avg(abs(dv)), 7), 4) AS mac_v,
+       round(round(coalesce(sum(abs(dv)), 0), 7), 4) AS asc_v,
+       CASE WHEN count(*) > 1
+            THEN round(round((max(last_v) - max(first_v)) / (count(*) - 1), 7), 4) END AS mc_v
+FROM d GROUP BY event_type, window_ms
+"""
+
+
+def q_rollup_1d_autocorr(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_autocorr_lag1")).alias("ac1_v"),
+    )
+
+
+SQL_ROLLUP_1D_AUTOCORR = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
+l AS (
+  SELECT event_type, window_ms, value,
+         lead(value) OVER (PARTITION BY event_type, window_ms
+                           ORDER BY tms, value) AS nxt
+  FROM w),
+m AS (
+  SELECT event_type, window_ms, avg(value) AS mu, var_pop(value) AS v,
+         count(*) AS n
+  FROM w GROUP BY event_type, window_ms),
+s AS (
+  SELECT l.event_type, l.window_ms,
+         sum((l.value - m.mu) * (l.nxt - m.mu)) AS num
+  FROM l JOIN m USING (event_type, window_ms)
+  WHERE l.nxt IS NOT NULL
+  GROUP BY l.event_type, l.window_ms)
+SELECT m.event_type, m.window_ms, m.n AS count,
+       CASE WHEN m.n > 1 AND m.v > 0
+            THEN round(round(s.num / ((m.n - 1) * m.v), 7), 4) END AS ac1_v
+FROM m LEFT JOIN s USING (event_type, window_ms)
+"""
+
+
+def q_rollup_1d_mean_counts(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        F.col("feat_count_above_mean").cast("long").alias("n_above"),
+        F.col("feat_count_below_mean").cast("long").alias("n_below"),
+    )
+
+
+SQL_ROLLUP_1D_MEAN_COUNTS = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
+m AS (SELECT event_type, window_ms, avg(value) AS mu FROM w GROUP BY 1, 2)
+SELECT w.event_type, w.window_ms, count(*) AS count,
+       sum(CASE WHEN value > mu THEN 1 ELSE 0 END) AS n_above,
+       sum(CASE WHEN value < mu THEN 1 ELSE 0 END) AS n_below
+FROM w JOIN m USING (event_type, window_ms)
+GROUP BY w.event_type, w.window_ms
+"""
+
+
+def q_rollup_1d_trend(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1d", 86400)
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_linear_trend_slope")).alias("slope_v"),
+    )
+
+
+SQL_ROLLUP_1D_TREND = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
+l AS (
+  SELECT event_type, window_ms, value,
+         CAST(row_number() OVER (PARTITION BY event_type, window_ms
+                                 ORDER BY tms, value) - 1 AS DOUBLE) AS rn
+  FROM w)
+SELECT event_type, window_ms, count(*) AS count,
+       CASE WHEN count(*) > 1 THEN round(round(regr_slope(value, rn), 7), 4) END AS slope_v
+FROM l GROUP BY event_type, window_ms
+"""
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    r = _events_rollup(
+        spark, sf_dir, "1h", 3600, gapfill=("locf", 60_000), features=[]
+    )
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("mean")).alias("mean_v"),
+        "fill_method",
+    )
+
+
+SQL_GAPFILL_LOCF_1H = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=3600000)}),
+b AS (
+  SELECT event_type, window_ms, min(tms) AS lo, max(tms) AS hi
+  FROM w GROUP BY 1, 2),
+grid AS (
+  SELECT b.event_type, b.window_ms, g.g
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(
+      CAST(ceil(b.lo / 60000.0) AS BIGINT) * 60000,
+      CAST(floor(b.hi / 60000.0) AS BIGINT) * 60000, 60000)) AS g) AS g),
+filled AS (
+  SELECT grid.event_type, grid.window_ms, grid.g,
+         max_by(w.value, w.tms) AS v
+  FROM grid JOIN w
+    ON w.event_type = grid.event_type AND w.window_ms = grid.window_ms
+   AND w.tms <= grid.g
+  GROUP BY grid.event_type, grid.window_ms, grid.g)
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(avg(v), 7), 4) AS mean_v, 'locf' AS fill_method
+FROM filled GROUP BY event_type, window_ms
+"""
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    r = _events_rollup(
+        spark, sf_dir, "1h", 3600, gapfill=("linear", 60_000), features=[]
+    )
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("mean")).alias("mean_v"),
+        "fill_method",
+    )
+
+
+SQL_GAPFILL_LINEAR_1H = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=3600000)}),
+b AS (
+  SELECT event_type, window_ms, min(tms) AS lo, max(tms) AS hi
+  FROM w GROUP BY 1, 2),
+grid AS (
+  SELECT b.event_type, b.window_ms, g.g
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(
+      CAST(ceil(b.lo / 60000.0) AS BIGINT) * 60000,
+      CAST(floor(b.hi / 60000.0) AS BIGINT) * 60000, 60000)) AS g) AS g),
+brackets AS (
+  SELECT grid.event_type, grid.window_ms, grid.g,
+         max_by(CASE WHEN w.tms <= grid.g THEN w.value END,
+                CASE WHEN w.tms <= grid.g THEN w.tms END) AS pv,
+         max(CASE WHEN w.tms <= grid.g THEN w.tms END) AS pt,
+         min_by(CASE WHEN w.tms >= grid.g THEN w.value END,
+                CASE WHEN w.tms >= grid.g THEN w.tms END) AS nv,
+         min(CASE WHEN w.tms >= grid.g THEN w.tms END) AS nt
+  FROM grid JOIN w
+    ON w.event_type = grid.event_type AND w.window_ms = grid.window_ms
+  GROUP BY grid.event_type, grid.window_ms, grid.g),
+filled AS (
+  SELECT event_type, window_ms, g,
+         CASE WHEN nt = pt THEN pv
+              ELSE pv + (nv - pv) / (nt - pt) * (g - pt) END AS v
+  FROM brackets)
+SELECT event_type, window_ms, count(*) AS count,
+       round(round(avg(v), 7), 4) AS mean_v, 'linear' AS fill_method
+FROM filled GROUP BY event_type, window_ms
+"""
+
+
+# --------------------------------------------------------------------------
+# canonical sequences ladder (token table, BASELINE.json input_hint)
+# --------------------------------------------------------------------------
+
+_SEQ_SQL = """
+    SELECT doc_id,
+           unnest(tokens) AS v,
+           generate_subscripts(tokens, 1) - 1 AS k
+    FROM read_parquet('{path}/*.parquet')
+"""
+
+
+def q_seq_1m_basic(spark, sf_dir):
+    seq = _sequences(spark, sf_dir)
+    cfg = RollupConfig(tiers=[("1m", 60)], include_raw=False, compress=False,
+                       features=["std", "median"])
+    r = rollup_sequences(seq, cfg)
+    return r.select(
+        "doc_id",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        F.col("min").cast("long").alias("min_v"),
+        F.col("max").cast("long").alias("max_v"),
+        _r4(F.col("mean")).alias("mean_v"),
+        _r4(F.col("feat_std")).alias("std_v"),
+        _r4(F.col("feat_median")).alias("median_v"),
+    )
+
+
+def sql_seq_1m_basic(sf_base: str) -> str:
+    path = f"{SEQ_CACHE}/sequences_{sf_base}.parquet"
+    return f"""
+WITH pts AS ({_SEQ_SQL.format(path=path)})
+SELECT doc_id,
+       1704067200000 + (k // 60) * 60000 AS window_ms,
+       count(*) AS count,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       round(round(avg(CAST(v AS DOUBLE)), 7), 4) AS mean_v,
+       round(round(stddev_pop(CAST(v AS DOUBLE)), 7), 4) AS std_v,
+       round(round(median(CAST(v AS DOUBLE)), 7), 4) AS median_v
+FROM pts GROUP BY doc_id, window_ms
+"""
+
+
+def q_seq_1h_energy(spark, sf_dir):
+    seq = _sequences(spark, sf_dir)
+    cfg = RollupConfig(tiers=[("1h", 3600)], include_raw=False, compress=False,
+                       features=["root_mean_square", "mean_abs_change",
+                                 "count_above_mean"])
+    r = rollup_sequences(seq, cfg)
+    return r.select(
+        "doc_id",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r4(F.col("feat_root_mean_square")).alias("rms_v"),
+        _r4(F.col("feat_mean_abs_change")).alias("mac_v"),
+        F.col("feat_count_above_mean").cast("long").alias("n_above"),
+    )
+
+
+def sql_seq_1h_energy(sf_base: str) -> str:
+    path = f"{SEQ_CACHE}/sequences_{sf_base}.parquet"
+    return f"""
+WITH pts AS ({_SEQ_SQL.format(path=path)}),
+w AS (
+  SELECT doc_id, 1704067200000 + (k // 3600) * 3600000 AS window_ms,
+         CAST(v AS DOUBLE) AS v, k
+  FROM pts),
+m AS (SELECT doc_id, window_ms, avg(v) AS mu FROM w GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, window_ms, v, mu,
+         v - lag(v) OVER (PARTITION BY doc_id, window_ms ORDER BY k) AS dv
+  FROM w JOIN m USING (doc_id, window_ms))
+SELECT doc_id, window_ms, count(*) AS count,
+       round(round(sqrt(avg(v * v)), 7), 4) AS rms_v,
+       round(round(avg(abs(dv)), 7), 4) AS mac_v,
+       sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS n_above
+FROM d GROUP BY doc_id, window_ms
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.2-2.8) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation (A-family; pushdown + partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(round(sum(l_quantity), 5), 2) AS sum_qty,
+       round(round(sum(l_extendedprice), 5), 2) AS sum_base_price,
+       round(round(sum(l_extendedprice * (1 - l_discount)), 5), 2) AS sum_disc_price,
+       round(round(avg(l_quantity), 7), 4) AS avg_qty,
+       round(round(avg(l_discount), 7), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast join chain lineitem ⋈ supplier ⋈ nation (J1/J3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(round(sum(l_extendedprice * (1 - l_discount)), 5), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Semi join (P7: label rows selection)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (U2: index complement at selection.py:33)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_union_order_slices(spark, sf_dir):
+    """Union-all of tagged slices (U1: extractor.py:83,168 concat)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 400000).withColumn(
+        "slice", F.lit("hi")
+    )
+    lo = o.where(F.col("o_totalprice") < 1000).withColumn("slice", F.lit("lo"))
+    return hi.unionByName(lo).select("slice", "o_orderkey", "o_totalprice")
+
+
+SQL_UNION_ORDER_SLICES = """
+SELECT 'hi' AS slice, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT 'lo' AS slice, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """Top-k with deterministic tie-break (T1/T3)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_order_rank_per_customer(spark, sf_dir):
+    """Window ranking (§2.5; T1 alternative formulation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_ORDER_RANK_PER_CUSTOMER = """
+SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_column_profile(spark, sf_dir):
+    """Column-wise cleaning profile (P2-P5: NaN/constant/variance filters)
+    as one agg pass over lineitem numerics."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = []
+    for c in cols:
+        rows.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.when(F.col(c).isNull() | F.isnan(c), 1)).alias(
+                    "n_bad"
+                ),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                _r4(F.var_pop(c)).alias("var_pop_v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'l_quantity' AS col_name,
+       sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS n_bad,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(round(var_pop(l_quantity), 7), 4) AS var_pop_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       sum(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END),
+       count(DISTINCT l_extendedprice), round(round(var_pop(l_extendedprice), 7), 4) FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       sum(CASE WHEN l_discount IS NULL OR isnan(l_discount) THEN 1 ELSE 0 END),
+       count(DISTINCT l_discount), round(round(var_pop(l_discount), 7), 4) FROM lineitem
+UNION ALL
+SELECT 'l_tax',
+       sum(CASE WHEN l_tax IS NULL OR isnan(l_tax) THEN 1 ELSE 0 END),
+       count(DISTINCT l_tax), round(round(var_pop(l_tax), 7), 4) FROM lineitem
+"""
+
+
+def q_zscore_by_type(spark, sf_dir):
+    """Per-group standardization (F4: clustering.py:43-48 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        _r4((F.col("value") - mu) / sd).alias("zscore"),
+    )
+
+
+SQL_ZSCORE_BY_TYPE = """
+SELECT event_id, event_type,
+       round(round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_pop(value) OVER (PARTITION BY event_type), 7), 4) AS zscore
+FROM events
+"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    """Distinct aggregates (A7: len(set(y)) at demo.py:30)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.max(F.length("props")).alias("max_props_len"),
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT count(DISTINCT event_type) AS n_types,
+       count(DISTINCT user_id) AS n_users,
+       max(length(props)) AS max_props_len
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup / text / similarity (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.quality_features(d).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_punct_ratio",
+        "q_digit_ratio", "q_upper_ratio", "q_stopword_ratio",
+        "q_mean_word_len",
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS q_n_chars,
+       len(regexp_extract_all(text, '\S+')) AS q_n_tokens,
+       round(round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 7), 4) AS q_punct_ratio,
+       round(round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 7), 4) AS q_digit_ratio,
+       round(round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 7), 4) AS q_upper_ratio,
+       round(round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) * 1.0
+             / len(regexp_extract_all(text, '\S+')), 7), 4) AS q_stopword_ratio,
+       round(round(len(regexp_extract_all(text, '\S')) * 1.0
+             / len(regexp_extract_all(text, '\S+')), 7), 4) AS q_mean_word_len
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.lang_id(d).select("doc_id", "lang_pred", "lang_score")
+
+
+def _sql_lang_id() -> str:
+    exprs = []
+    for code, words in sorted(T.LANG_MARKERS.items()):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        exprs.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{code}")
+    scores = ", ".join(exprs)
+    langs = sorted(T.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{c} = {best} THEN '{c}'" for c in langs
+    ) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS lang_pred,
+       CAST({best} AS INT) AS lang_score
+FROM s
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.fingerprint(d).select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 9), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= 10
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        _r4(S.norm(F.col("embedding").cast("array<double>"))).alias("l2_norm"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 7), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+# ---- non-SQL-expressible ops: rows-only checks (hash-seeded internals) ----
+
+def q_minhash_near_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(d, min_jaccard=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d).select("doc_id", "simhash")
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(d).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, k=10)
+
+
+def q_ladder_full(spark, sf_dir):
+    """Full sequences ladder with Gorilla compression — the flagship
+    (rows-only: binary blocks have no SQL equivalent)."""
+    seq = _sequences(spark, sf_dir)
+    out = assemble(rollup_sequences(seq))
+    return out.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("count").alias("n_points"),
+        F.sum(F.length("val_gorilla")).alias("val_bytes"),
+        F.sum(F.length("ts_gorilla")).alias("ts_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier ladder + Gorilla over the sf0.001 events table."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cfg = RollupConfig(include_raw=False)
+    flat = rollup_points(ev, ["event_type"], "ts", "value", cfg)
+    return flat.select(
+        "event_type", "tier", "window_start_ms", "count", "mean",
+        "feat_std", "feat_autocorr_lag1", "feat_binned_entropy_10",
+        "ts_gorilla", "val_gorilla",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1h_basic": q_rollup_1h_basic,
+        "rollup_1d_dispersion": q_rollup_1d_dispersion,
+        "rollup_1d_shape": q_rollup_1d_shape,
+        "rollup_1d_change": q_rollup_1d_change,
+        "rollup_1d_autocorr": q_rollup_1d_autocorr,
+        "rollup_1d_mean_counts": q_rollup_1d_mean_counts,
+        "rollup_1d_trend": q_rollup_1d_trend,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "seq_1m_basic": q_seq_1m_basic,
+        "seq_1h_energy": q_seq_1h_energy,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "union_order_slices": q_union_order_slices,
+        "top_orders": q_top_orders,
+        "order_rank_per_customer": q_order_rank_per_customer,
+        "column_profile": q_column_profile,
+        "zscore_by_type": q_zscore_by_type,
+        "distinct_counts": q_distinct_counts,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_norms": q_embedding_norms,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "lsh_topk": q_lsh_topk,
+        "ladder_full": q_ladder_full,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1h_basic": SQL_ROLLUP_1H_BASIC,
+        "rollup_1d_dispersion": SQL_ROLLUP_1D_DISPERSION,
+        "rollup_1d_shape": SQL_ROLLUP_1D_SHAPE,
+        "rollup_1d_change": SQL_ROLLUP_1D_CHANGE,
+        "rollup_1d_autocorr": SQL_ROLLUP_1D_AUTOCORR,
+        "rollup_1d_mean_counts": SQL_ROLLUP_1D_MEAN_COUNTS,
+        "rollup_1d_trend": SQL_ROLLUP_1D_TREND,
+        "gapfill_locf_1h": SQL_GAPFILL_LOCF_1H,
+        "gapfill_linear_1h": SQL_GAPFILL_LINEAR_1H,
+        "seq_1m_basic": sql_seq_1m_basic("sf0.01"),
+        "seq_1h_energy": sql_seq_1h_energy("sf0.01"),
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "union_order_slices": SQL_UNION_ORDER_SLICES,
+        "top_orders": SQL_TOP_ORDERS,
+        "order_rank_per_customer": SQL_ORDER_RANK_PER_CUSTOMER,
+        "column_profile": SQL_COLUMN_PROFILE,
+        "zscore_by_type": SQL_ZSCORE_BY_TYPE,
+        "distinct_counts": SQL_DISTINCT_COUNTS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_id": _sql_lang_id(),
+        "fingerprint": SQL_FINGERPRINT,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_norms": SQL_EMBEDDING_NORMS,
+    }

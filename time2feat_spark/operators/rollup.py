@@ -60,6 +60,8 @@ class RollupConfig:
     features: list[str] = field(default_factory=lambda: list(ROLLUP_FEATURES))
     compress: bool = True
     include_raw: bool = True  # emit a `raw` tier: per-series Gorilla blocks
+    # points path only: ("linear"|"locf", grid step ms) resample before windowing
+    gapfill: tuple[str, int] | None = None
 
 
 def _next_pow2(x: np.ndarray) -> np.ndarray:
@@ -270,13 +272,22 @@ def rollup_points_pdf(
     """Roll one (key, day-chunk) group of timestamped points into all tiers."""
     if len(pdf) == 0:
         return _empty_points_flat(cfg, key_cols)
-    pdf = pdf.sort_values(ts_col, kind="mergesort")
+    # deterministic order even under duplicate timestamps: (ts, value)
+    pdf = pdf.sort_values([ts_col, val_col], kind="mergesort")
     ts = pdf[ts_col].to_numpy()
     if np.issubdtype(ts.dtype, np.datetime64):
         ts_ms = ts.astype("datetime64[ms]").astype(np.int64)
     else:
         ts_ms = ts.astype(np.int64)
     vals = pdf[val_col].to_numpy().astype(np.float64, copy=False)
+    fill_method = "none"
+    if cfg.gapfill is not None:
+        from ..functions.gapfill import gapfill_grid
+
+        fill_method, step_ms = cfg.gapfill
+        ts_ms, vals = gapfill_grid(ts_ms, vals, step_ms, fill_method)
+        if len(ts_ms) == 0:
+            return _empty_points_flat(cfg, key_cols)
     n = len(vals)
 
     frames = []
@@ -303,7 +314,7 @@ def rollup_points_pdf(
         else:
             res["ts_gorilla"] = None
             res["val_gorilla"] = None
-        res["fill_method"] = np.full(k, "none", dtype=object)
+        res["fill_method"] = np.full(k, fill_method, dtype=object)
         frames.append(pd.DataFrame(res))
     return pd.concat(frames, ignore_index=True)
 
@@ -354,9 +365,12 @@ def rollup_points(
     key_fields = [df.schema[c] for c in key_cols]
     schema = points_flat_schema(cfg, key_fields)
 
+    # cast handles TIMESTAMP_NTZ inputs; session TZ is UTC so the instant
+    # is the naive wall time, matching DuckDB's naive timestamps
     chunked = df.withColumn(
         "_chunk",
-        (F.unix_millis(F.col(ts_col)) / F.lit(coarsest_ms)).cast("long"),
+        (F.unix_millis(F.col(ts_col).cast("timestamp")) / F.lit(coarsest_ms))
+        .cast("long"),
     )
 
     def run(key, pdf):

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+All per-row work is JVM built-in expressions (regexp_count, length,
+split) — whole-stage codegen, no Python UDFs. Heuristics are deliberately
+SQL-expressible so DuckDB oracles can replicate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny marker-word sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "los", "que", "es", "y"],
+    "it": ["il", "che", "di", "e", "sono"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _word_count(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def token_count(text: Column) -> Column:
+    r"""Whitespace token count (regexp \S+)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: split words and punctuation like a GPT-2
+    pre-tokenizer would (letters runs, digit runs, punctuation singles)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality scores: length, token stats, punctuation/digit/upper
+    ratios, stopword ratio, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    return df.withColumns(
+        {
+            "q_n_chars": n_chars,
+            "q_n_tokens": n_tok,
+            "q_punct_ratio": F.round(
+                F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_chars, 4
+            ),
+            "q_digit_ratio": F.round(F.regexp_count(t, F.lit(r"[0-9]")) / n_chars, 4),
+            "q_upper_ratio": F.round(F.regexp_count(t, F.lit(r"[A-Z]")) / n_chars, 4),
+            "q_stopword_ratio": F.round(_word_count(t, STOPWORDS) / n_tok, 4),
+            "q_mean_word_len": F.round(
+                F.regexp_count(t, F.lit(r"\S")) / n_tok, 4
+            ),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts,
+    'und' when no marker matches. Deterministic tie-break by language code
+    order (greatest-with-struct trick keeps it one JVM expression)."""
+    t = F.col(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _word_count(t, words).alias("score"),
+                # invert code so ties pick the alphabetically-first language
+                F.lit(len(LANG_MARKERS) - i).alias("pref"),
+                F.lit(code).alias("lang"),
+            )
+            for i, (code, words) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred", F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ).withColumn("lang_score", best["score"])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased text with
+    whitespace collapsed — catches trivial reformat duplicates."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): per window of `window` consecutive
+    k-gram hashes keep the minimum -> robust local fingerprints.
+    JVM-side: shingle hashes via transform, window minima via transform
+    over an index sequence + slice + array_min, then explode distinct."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
+    )
+    nw = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+    )
