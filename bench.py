@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "rolled_points": N, "points_per_sec": N}
+
+--scaling mode: runs the identical ladder job at local[8] and local[32]
+(fresh JVM each, via subprocess) on the same input and writes
+BENCH/BASELINE.md with throughput at both plus scaling efficiency
+(BASELINE.json's two-cluster-size criterion, sandbox protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO = os.path.dirname(os.path.abspath(__file__))
+SEQ_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "15000"))
+
+
+def _spark(cpus: str):
+    sys.path.insert(0, REPO)
+    from time2feat_spark.session import get_spark
+
+    return get_spark(
+        "t2f-bench",
+        master=f"local[{cpus}]",
+        extra={
+            "spark.ui.enabled": "false",
+            "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
+        },
+    )
+
+
+def _bench_sequences_path(spark) -> str:
+    """Deterministic bench input; generated once, reused across runs."""
+    path = f"{REPO}/.cache/sequences_bench_{SEQ_BENCH_ROWS}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        from time2feat_spark.generator import write_sequences
+
+        write_sequences(spark, path, SEQ_BENCH_ROWS)
+    return path
+
+
+def run_ladder(spark, seq_path: str) -> dict:
+    """The headline job: full tier ladder + Gorilla over the token table,
+    written to parquet partitioned by (tier, source) — the end-to-end
+    rollup+compress pipeline the north rule measures."""
+    from pyspark.sql import functions as F
+    from time2feat_spark.operators.rollup import (
+        RollupConfig,
+        assemble,
+        rollup_sequences,
+    )
+
+    seq = spark.read.parquet(seq_path)
+    out_path = f"{REPO}/.cache/bench_rollup_out"
+    t0 = time.time()
+    tiers = assemble(rollup_sequences(seq, RollupConfig()))
+    tiers.write.mode("overwrite").partitionBy("tier").parquet(out_path)
+    wall = time.time() - t0
+    stats = (
+        spark.read.parquet(out_path)
+        .agg(F.sum("count").alias("pts"), F.count(F.lit(1)).alias("windows"))
+        .first()
+    )
+    return {"sec": wall, "rolled_points": int(stats.pts), "windows": int(stats.windows)}
+
+
+def run_default() -> dict:
+    import __spark_entry__ as E
+
+    spark = _spark(CPUS)
+    seq_path = _bench_sequences_path(spark)
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    ladder = run_ladder(spark, seq_path)
+    queries["ladder_sequences"] = round(ladder["sec"], 3)
+
+    def timed(name, fn):
+        t = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        queries[name] = round(time.time() - t, 3)
+        return n
+
+    timed("rollup_events_1h", E.q_rollup_1h_basic)
+    timed("rollup_events_1d_stats", E.q_rollup_1d_dispersion)
+    timed("gapfill_locf_1h", E.q_gapfill_locf_1h)
+    timed("pricing_summary", E.q_pricing_summary)
+    timed("revenue_by_nation", E.q_revenue_by_nation)
+    timed("dedup_exact", E.q_dedup_exact)
+    timed("minhash_near_dups", E.q_minhash_near_dups)
+    timed("text_quality", E.q_text_quality)
+    timed("embedding_topk", E.q_embedding_topk)
+    total = time.time() - t0
+
+    pps = ladder["rolled_points"] / ladder["sec"] if ladder["sec"] else 0
+    return {
+        "metric": "rolled-up points/sec (raw→1m→1h→1d tiers, Gorilla-compressed)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "rolled_points": ladder["rolled_points"],
+        "windows": ladder["windows"],
+        "points_per_sec": int(pps),
+        "cpus": int(CPUS),
+    }
+
+
+def run_ladder_once(cpus: str) -> dict:
+    """Subprocess entry: one ladder run at a given parallelism."""
+    spark = _spark(cpus)
+    seq_path = _bench_sequences_path(spark)
+    # warm the JVM/parquet cache with a cheap action, then measure
+    spark.read.parquet(seq_path).count()
+    res = run_ladder(spark, seq_path)
+    res["cpus"] = int(cpus)
+    spark.stop()
+    return res
+
+
+def run_scaling() -> None:
+    results = {}
+    for cpus in ("8", "32"):
+        out = subprocess.run(
+            [sys.executable, __file__, "--ladder-once", cpus],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results["8"], results["32"]
+    tput8 = r8["rolled_points"] / r8["sec"]
+    tput32 = r32["rolled_points"] / r32["sec"]
+    eff = (tput32 / tput8) / 4.0
+    md = f"""## BENCH — scaling evidence (written by bench.py --scaling)
+
+Two-cluster-size criterion (BASELINE.json): identical end-to-end
+rollup+compress ladder job (tokens table, {SEQ_BENCH_ROWS} docs,
+{r8['rolled_points']:,} rolled points across raw/1m/1h/1d, Gorilla-compressed,
+written to parquet) at two local parallelism levels, fresh JVM each:
+
+| parallelism | wall (s) | rolled points/s |
+|---|---|---|
+| local[8]  (N)  | {r8['sec']:.2f} | {tput8:,.0f} |
+| local[32] (4N) | {r32['sec']:.2f} | {tput32:,.0f} |
+
+**Scaling efficiency (N→4N) = (T_N / T_4N) / 4 = {eff:.3f}**
+(pass threshold: ≥ 0.8)
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--ladder-once":
+        print(json.dumps(run_ladder_once(sys.argv[2])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    else:
+        print(json.dumps(run_default()))

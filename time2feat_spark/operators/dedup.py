@@ -1,9 +1,9 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot-path expressions are JVM-side built-ins (whole-stage codegen):
-shingling via substring/transform, hashing via xxhash64, MinHash via
-array_min over transform — no Python in the per-row path. The only Python
-is driver-side plan construction.
+Shingling/tokenizing/hashing are JVM-side built-ins (whole-stage codegen,
+one pass); the per-bit/per-slot reductions of MinHash and SimHash are
+single vectorized Arrow UDF passes (num_perm/bit-count JVM expressions
+would re-walk the arrays per slot and blow up codegen). No per-row Python.
 
 Scale notes (100 TB posture):
 - exact_dedup: one shuffle on the content hash; map-side partial agg
@@ -16,6 +16,9 @@ Scale notes (100 TB posture):
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -51,19 +54,42 @@ def minhash_signature(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """Add a `minhash` array<long> column: per permutation j, min over
-    shingle hashes h of xxhash64(seed, j, h) — a seeded hash family in
-    place of the classic (a*h+b) mod p, entirely JVM-side."""
-    sh = _shingles(F.col(text_col), shingle_k)
-    df = df.withColumn("_sh", sh)
+    """Add a `minhash` array<long> column via one-permutation hashing
+    (Li/Owen/Zhang, NIPS 2012): shingles are hashed ONCE JVM-side
+    (xxhash64 transform), then a vectorized Arrow UDF scatter-mins them
+    into num_perm buckets (h mod num_perm) with circular densification
+    for empty buckets. One pass over the shingles instead of num_perm
+    passes — the classic k-permutation form costs 64x the hashing and
+    blows up whole-stage codegen."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
-    def perm(j: int):
-        return lambda h: F.xxhash64(F.lit(seed), F.lit(j), h)
+    MAXL = np.iinfo(np.int64).max
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_sh"), perm(j))) for j in range(num_perm)]
+    @pandas_udf(ArrayType(LongType()))
+    def oph(sh: pd.Series) -> pd.Series:
+        n = len(sh)
+        lens = np.fromiter((len(a) for a in sh), dtype=np.int64, count=n)
+        sig = np.full((n, num_perm), MAXL, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in sh])
+            row = np.repeat(np.arange(n), lens)
+            bucket = flat % num_perm
+            np.minimum.at(sig, (row, bucket), flat)
+            # circular densification: empty buckets borrow from the left,
+            # two passes around so every row with >=1 shingle is total
+            for j in range(1, 2 * num_perm):
+                col, prev = j % num_perm, (j - 1) % num_perm
+                empty = sig[:, col] == MAXL
+                sig[empty, col] = sig[empty, prev]
+        return pd.Series(list(sig))
+
+    # seed folded into the shingle hash so signatures are a seeded family
+    sh = F.transform(
+        _shingles(F.col(text_col), shingle_k),
+        lambda h: F.xxhash64(F.lit(seed), h),
     )
-    return df.withColumn("minhash", sig).drop("_sh")
+    return df.withColumn("minhash", oph(sh))
 
 
 def minhash_lsh_buckets(
@@ -71,7 +97,7 @@ def minhash_lsh_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
@@ -102,14 +128,16 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     min_jaccard: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified with exact shingle-set
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    buckets = minhash_lsh_buckets(df, text_col, id_col, num_perm, bands, shingle_k, seed)
+    buckets = minhash_lsh_buckets(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed
+    ).cache()  # self-joined below: avoid recomputing the signature pipeline
     pairs = (
         buckets.alias("x")
         .join(
@@ -124,7 +152,7 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shset"),
-    )
+    ).cache()  # joined twice (both pair sides)
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sb"), "id_b")
@@ -169,28 +197,42 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """Add a `simhash` int64 column: sign of per-bit votes over whitespace
-    token hashes. Pure JVM expressions (aggregate over the token array)."""
+    token hashes. Tokens are hashed once JVM-side; the 64 bit votes are a
+    single vectorized Arrow pass (64 JVM aggregate expressions would
+    re-walk the token array per bit and blow up codegen)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    nb = bits
+
+    @pandas_udf(LongType())
+    def votes(tok_hashes: pd.Series) -> pd.Series:
+        n = len(tok_hashes)
+        lens = np.fromiter(
+            (len(a) for a in tok_hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.uint64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in tok_hashes]
+            ).view(np.uint64)
+            row = np.repeat(np.arange(n), lens)
+            acc = np.zeros((n, nb), dtype=np.int64)
+            bitmat = (
+                (flat[:, None] >> np.arange(nb, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64) * 2 - 1  # votes in {-1, +1}
+            np.add.at(acc, row, bitmat)
+            pos = (acc > 0).astype(np.uint64)
+            out = (pos << np.arange(nb, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
     toks = F.transform(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
     )
-    def bit_vote(b: int):
-        return F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    sim = F.aggregate(
-        F.array(*[
-            F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (2 ** b) if b < 63
-                   else F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
-    return df.withColumn("simhash", sim)
+    return df.withColumn("simhash", votes(toks))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -269,37 +269,68 @@ def rollup_points_pdf(
     ts_col: str,
     val_col: str,
 ) -> pd.DataFrame:
-    """Roll one (key, day-chunk) group of timestamped points into all tiers."""
+    """Roll MANY (key, chunk) groups at once — one vectorized pass over a
+    whole partition (no per-group Python dispatch). Points are sorted by
+    (group, ts, value); every tier's windows are contiguous slices of the
+    sorted flat arrays, so the same stats_ragged/gorilla machinery as the
+    sequences path applies.
+
+    Requires a `_chunk` column (coarsest-tier id) so groups co-located by
+    the repartition are whole; rows of one (key, _chunk) must all be
+    present (guaranteed by rollup_points's repartition)."""
     if len(pdf) == 0:
         return _empty_points_flat(cfg, key_cols)
-    # deterministic order even under duplicate timestamps: (ts, value)
-    pdf = pdf.sort_values([ts_col, val_col], kind="mergesort")
-    ts = pdf[ts_col].to_numpy()
-    if np.issubdtype(ts.dtype, np.datetime64):
-        ts_ms = ts.astype("datetime64[ms]").astype(np.int64)
+
+    ts_raw = pdf[ts_col].to_numpy()
+    if np.issubdtype(ts_raw.dtype, np.datetime64):
+        ts_ms = ts_raw.astype("datetime64[ms]").astype(np.int64)
     else:
-        ts_ms = ts.astype(np.int64)
+        ts_ms = ts_raw.astype(np.int64)
     vals = pdf[val_col].to_numpy().astype(np.float64, copy=False)
+    grp = pdf.groupby(key_cols, sort=False).ngroup().to_numpy()
+
+    # deterministic order even under duplicate timestamps: (grp, ts, value)
+    order = np.lexsort((vals, ts_ms, grp))
+    grp, ts_ms, vals = grp[order], ts_ms[order], vals[order]
+    key_row = order  # row index carrying the key columns of each point
+
     fill_method = "none"
     if cfg.gapfill is not None:
         from ..functions.gapfill import gapfill_grid
 
         fill_method, step_ms = cfg.gapfill
-        ts_ms, vals = gapfill_grid(ts_ms, vals, step_ms, fill_method)
-        if len(ts_ms) == 0:
+        gb = np.nonzero(np.diff(grp))[0] + 1
+        g_starts = np.concatenate(([0], gb))
+        g_ends = np.concatenate((gb, [len(grp)]))
+        parts_t, parts_v, parts_g, parts_r = [], [], [], []
+        for s, e in zip(g_starts, g_ends):
+            gt, gv = gapfill_grid(ts_ms[s:e], vals[s:e], step_ms, fill_method)
+            if len(gt):
+                parts_t.append(gt)
+                parts_v.append(gv)
+                parts_g.append(np.full(len(gt), grp[s]))
+                parts_r.append(np.full(len(gt), key_row[s]))
+        if not parts_t:
             return _empty_points_flat(cfg, key_cols)
-    n = len(vals)
+        ts_ms = np.concatenate(parts_t)
+        vals = np.concatenate(parts_v)
+        grp = np.concatenate(parts_g)
+        key_row = np.concatenate(parts_r)
 
+    n = len(vals)
     frames = []
     for tier_name, tier_sec in cfg.tiers:
         ms = tier_sec * 1000
-        wid = ts_ms // ms  # window id per point (sorted, non-decreasing)
-        boundaries = np.nonzero(np.diff(wid))[0] + 1
+        wid = ts_ms // ms
+        change = (np.diff(grp) != 0) | (np.diff(wid) != 0)
+        boundaries = np.nonzero(change)[0] + 1
         w_starts = np.concatenate(([0], boundaries))
         w_ends = np.concatenate((boundaries, [n]))
         st = stats_ragged(vals, w_starts, w_ends, cfg.features)
         k = len(w_starts)
-        res = {c: np.repeat(pdf[c].iloc[0], k) for c in key_cols}
+        res = {
+            c: pdf[c].to_numpy()[key_row[w_starts]] for c in key_cols
+        }
         res["tier"] = np.full(k, tier_name, dtype=object)
         res["window_start_ms"] = wid[w_starts] * ms
         res["count"] = st["count"].astype(np.int64)
@@ -353,12 +384,16 @@ def rollup_points(
     ts_col: str,
     val_col: str,
     cfg: RollupConfig | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Tier-ladder rollup over long-format points.
 
-    One shuffle on (key, coarsest-tier chunk): chunking bounds group sizes
-    for hot keys (skew) while windows of every tier nest inside the chunk,
-    so holistic stats stay exact.
+    One shuffle on (key, coarsest-tier chunk): chunking bounds the data
+    any task must hold for a hot key (skew relief) while windows of every
+    tier nest inside the chunk, so holistic stats stay exact. After the
+    repartition a single mapInPandas processes ALL groups of a partition
+    in one vectorized pass (no per-group Python dispatch — thousands of
+    small groups cost the same as one big one).
     """
     cfg = cfg or RollupConfig(include_raw=False)
     coarsest_ms = max(sec for _, sec in cfg.tiers) * 1000
@@ -372,10 +407,20 @@ def rollup_points(
         (F.unix_millis(F.col(ts_col).cast("timestamp")) / F.lit(coarsest_ms))
         .cast("long"),
     )
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = chunked.repartition(n_parts, *key_cols, "_chunk")
 
-    def run(key, pdf):
-        return rollup_points_pdf(
-            pdf.drop(columns=["_chunk"]), cfg, key_cols, ts_col, val_col
-        )
+    def run(batches):
+        # a partition holds whole (key, chunk) groups; concatenate its Arrow
+        # batches so each group's points are processed together
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        yield rollup_points_pdf(
+            pdf, cfg, key_cols + ["_chunk"], ts_col, val_col
+        ).drop(columns=["_chunk"])
 
-    return chunked.groupBy(*key_cols, "_chunk").applyInPandas(run, schema)
+    return parted.mapInPandas(run, schema)
