@@ -1,0 +1,111 @@
+"""T-resume (SURVEY.md §5): kill the ladder job after k units, resume,
+and verify the output table is identical to an uninterrupted run, with
+checkpoint lineage populated. Also exercises incremental watermark runs
+(append-only input -> only new docs processed) and the skew-salted
+write path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time2feat_spark.generator import gen_pandas
+from time2feat_spark.operators.rollup import RollupConfig
+from time2feat_spark.plans.checkpoint import Manifest, snapshot_id
+from time2feat_spark.plans.ladder_job import LadderJob
+
+CFG = RollupConfig(tiers=[("1m", 60), ("1h", 3600)], include_raw=False)
+
+
+def _write_input(spark, path, n):
+    spark.createDataFrame(gen_pandas(0, n)).write.mode("overwrite").parquet(path)
+
+
+def _table(spark, root) -> pd.DataFrame:
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .select("source", "doc_id", "tier", "window_start", "count", "mean",
+                "feat.variance", "feat.median")
+        .toPandas()
+    )
+    return df.sort_values(["source", "doc_id", "tier", "window_start"]).reset_index(
+        drop=True
+    )
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 400)
+
+    full = LadderJob(spark, inp, str(tmp_path / "full"), CFG)
+    r = full.run()
+    assert r["pending"] == 0 and not r["skipped"]
+
+    part = LadderJob(spark, inp, str(tmp_path / "partial"), CFG)
+    r1 = part.run(max_units=3)  # simulate a crash after 3 units
+    assert len(r1["processed"]) == 3 and r1["pending"] > 0
+    r2 = part.run()  # resume
+    assert set(r2["skipped"]) == set(r1["processed"])
+    assert r2["pending"] == 0
+
+    a = _table(spark, str(tmp_path / "full"))
+    b = _table(spark, str(tmp_path / "partial"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_manifest_lineage_and_metrics(spark, tmp_path):
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 200)
+    job = LadderJob(spark, inp, str(tmp_path / "out"), CFG)
+    job.run()
+    recs = Manifest(str(tmp_path / "out")).records()
+    assert recs
+    snap = snapshot_id(inp)
+    for rec in recs:
+        assert rec.input_snapshot_id == snap
+        assert rec.rollup_watermark.startswith("doc_")
+        assert rec.rows_in > 0 and rec.windows_out > 0 and rec.points > 0
+        assert rec.bytes_compressed > 0 and rec.wall_ms >= 0
+        assert rec.status == "done"
+
+
+def test_rerun_is_noop_until_snapshot_changes(spark, tmp_path):
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 150)
+    job = LadderJob(spark, inp, str(tmp_path / "out"), CFG)
+    r1 = job.run()
+    r2 = job.run()
+    assert not r2["processed"] and len(r2["skipped"]) == len(r1["processed"])
+
+
+def test_incremental_watermark_appends_only_new_docs(spark, tmp_path):
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 150)
+    out = str(tmp_path / "out")
+    job = LadderJob(spark, inp, out, CFG)
+    job.run(incremental=True)
+
+    # append 50 new docs (same generator => append-only, increasing doc_id)
+    spark.createDataFrame(gen_pandas(150, 200)).write.mode("append").parquet(inp)
+    r = LadderJob(spark, inp, out, CFG).run(incremental=True)
+    assert r["processed"]  # changed units re-ran (snapshot moved)
+
+    got = _table(spark, out)
+    ref_job = LadderJob(spark, inp, str(tmp_path / "ref"), CFG)
+    ref_job.run()
+    want = _table(spark, str(tmp_path / "ref"))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_write_spreads_hot_source(spark, tmp_path):
+    """The Zipf-heavy source must be written by multiple salted tasks."""
+    import glob
+
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 600)
+    out = str(tmp_path / "out")
+    LadderJob(spark, inp, out, CFG, rows_per_task=50).run()
+    hot_files = glob.glob(f"{out}/source=src_0/tier=1m/part-*.parquet")
+    assert len(hot_files) >= 3, f"expected salted parallel files, got {len(hot_files)}"

@@ -1,0 +1,132 @@
+"""Resumable tier-ladder job: the production entry point of the engine.
+
+Work is split into per-source units (the input's natural partition key;
+at 100 TB the input table is partitioned by source, so each unit's scan
+is partition-pruned). Each unit is rolled up, salted, written to its own
+output partition directory (idempotent overwrite), and checkpointed in
+the manifest with lineage + metrics. A re-run skips units whose
+checkpoint matches the current input snapshot — kill the job after k
+units and the next run completes only the missing ones, yielding the
+identical table (tests/test_resume.py).
+
+Skew (north_rule "explicit salting for skewed sources"): the Zipf-heavy
+source holds ~35% of rows; a cheap pre-pass histogram sizes a per-unit
+salt ``pmod(xxhash64(doc_id), k)`` used as the repartition key before
+the write, so one hot source still writes through many parallel tasks
+and bounded-size files.
+
+Incremental mode realizes the continuous-aggregate semantics as
+restartable batch (SURVEY.md §2.9): sequences are append-only with
+monotonically increasing doc_id, so each unit's rollup watermark is its
+high-water doc_id; the next run processes only ``doc_id > watermark``
+and appends the new windows.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.rollup import RollupConfig, assemble, rollup_sequences
+from .checkpoint import Manifest, UnitRecord, snapshot_id
+
+
+class LadderJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        out_root: str,
+        cfg: RollupConfig | None = None,
+        rows_per_task: int = 20_000,
+    ):
+        self.spark = spark
+        self.input_path = input_path
+        self.out_root = out_root
+        self.cfg = cfg or RollupConfig()
+        self.rows_per_task = rows_per_task
+        self.manifest = Manifest(out_root)
+
+    def _unit_stats(self, df: DataFrame) -> list[tuple[str, int]]:
+        """Pre-pass histogram: (source, rows) — drives units + salt size."""
+        rows = df.groupBy("source").count().collect()
+        return sorted((r["source"], r["count"]) for r in rows)
+
+    def run(
+        self,
+        incremental: bool = False,
+        max_units: int | None = None,
+    ) -> dict:
+        """Process all pending units; returns run metrics. ``max_units``
+        stops early (used by resume tests to simulate a crash)."""
+        run_id = uuid.uuid4().hex[:8]
+        snap = snapshot_id(self.input_path)
+        seq = self.spark.read.parquet(self.input_path)
+        units = self._unit_stats(seq)
+        done = self.manifest.done_units(snap)
+        watermarks = self.manifest.watermarks() if incremental else {}
+
+        processed, skipped = [], []
+        for source, n_rows in units:
+            unit = f"source={source}"
+            if unit in done:
+                skipped.append(unit)
+                continue
+            if max_units is not None and len(processed) >= max_units:
+                break
+            t0 = time.time()
+            part = seq.where(F.col("source") == source)
+            wm = watermarks.get(unit)
+            mode = "overwrite"
+            if incremental and wm is not None:
+                part = part.where(F.col("doc_id") > wm)
+                mode = "append"
+            salt_k = max(1, -(-n_rows // self.rows_per_task))
+            flat = rollup_sequences(
+                part.repartition(salt_k, F.pmod(F.xxhash64("doc_id"), F.lit(salt_k))),
+                self.cfg,
+            )
+            out = assemble(flat, self.cfg).drop("source")
+            out.write.mode(mode).partitionBy("tier").parquet(
+                f"{self.out_root}/source={source}"
+            )
+            stats = self.spark.read.parquet(
+                f"{self.out_root}/source={source}"
+            ).agg(
+                F.count(F.lit(1)).alias("w"),
+                F.sum("count").alias("p"),
+                F.sum(
+                    F.coalesce(F.length("val_gorilla"), F.lit(0))
+                    + F.coalesce(F.length("ts_gorilla"), F.lit(0))
+                ).alias("b"),
+            ).first()
+            hi = part.agg(F.max("doc_id")).first()[0] or wm or ""
+            rec = UnitRecord(
+                run_id=run_id,
+                unit=unit,
+                input_snapshot_id=snap,
+                partition_range=f"{source}",
+                rollup_watermark=str(hi),
+                rows_in=n_rows,
+                windows_out=int(stats.w),
+                points=int(stats.p),
+                bytes_compressed=int(stats.b or 0),
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+            self.manifest.append(rec)
+            processed.append(unit)
+
+        return {
+            "run_id": run_id,
+            "snapshot": snap,
+            "processed": processed,
+            "skipped": skipped,
+            "pending": len(units) - len(processed) - len(skipped),
+        }
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.out_root).parquet(
+            self.out_root
+        )
