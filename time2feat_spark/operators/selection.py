@@ -1,0 +1,132 @@
+"""Feature cleaning, ranking, and selection — reference parity.
+
+Maps the reference's selection stack (SURVEY.md §2.2 P2-P5, §2.6 T1/T4):
+- clean_profile / clean_features: drop any-NaN, any-inf, zero-variance
+  columns (t2f/selection/selection.py:10-22) in ONE aggregation pass
+  (column-wise predicates become one agg + a projection).
+- anova_f_scores: sklearn-f_classif-equivalent one-way ANOVA F per
+  feature (t2f/ranking/wrapper.py:21-31) computed from per-class
+  count/sum/sumsq aggregates — a single groupBy(label) pass; the final
+  k x f math runs driver-side on the tiny aggregate matrix.
+- pfa: Principal Feature Analysis (t2f/selection/PFA.py:14-43):
+  standardize -> PCA (components covering 90% variance) -> KMeans on the
+  component loadings -> the feature nearest each centroid. The feature
+  matrix after aggregation is small (SURVEY.md §4 O8: deliberately NOT
+  distributed — collect and run numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from .clustering import kmeans
+
+
+def clean_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One agg pass: per column (n_bad = NULL/NaN/inf count, var_pop)."""
+    aggs = []
+    for c in cols:
+        bad = F.col(c).isNull() | F.isnan(c) | F.col(c).isin(
+            float("inf"), float("-inf")
+        )
+        aggs.append(F.count(F.when(bad, 1)).alias(f"bad__{c}"))
+        aggs.append(F.var_pop(c).alias(f"var__{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd__{c}"))
+    return df.agg(*aggs)
+
+
+def clean_features(df: DataFrame, cols: list[str]) -> list[str]:
+    """Surviving columns after P2 (any-NaN), P3 (any-inf), P4 (zero
+    variance, population ddof=0 like sklearn VarianceThreshold), P5
+    (constant)."""
+    row = clean_profile(df, cols).first()
+    keep = []
+    for c in cols:
+        if row[f"bad__{c}"] == 0 and (row[f"var__{c}"] or 0) > 0 and row[f"nd__{c}"] > 1:
+            keep.append(c)
+    return keep
+
+
+def anova_f_scores(
+    df: DataFrame, cols: list[str], label_col: str
+) -> dict[str, float]:
+    """One-way ANOVA F statistic per feature (f_classif semantics)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"s__{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss__{c}"))
+    per_class = df.groupBy(label_col).agg(*aggs).collect()
+    k = len(per_class)
+    n = sum(r["_n"] for r in per_class)
+    out = {}
+    for c in cols:
+        tot_s = sum(r[f"s__{c}"] for r in per_class)
+        tot_ss = sum(r[f"ss__{c}"] for r in per_class)
+        sst = tot_ss - tot_s * tot_s / n
+        ssb = sum(
+            r[f"s__{c}"] ** 2 / r["_n"] for r in per_class
+        ) - tot_s * tot_s / n
+        ssw = sst - ssb
+        if ssw <= 0 or k < 2 or n <= k:
+            out[c] = float("inf") if ssb > 0 else 0.0
+            continue
+        out[c] = float((ssb / (k - 1)) / (ssw / (n - k)))
+    return out
+
+
+def top_k_features(
+    df: DataFrame, cols: list[str], label_col: str, k: int
+) -> list[str]:
+    """T1: rank by ANOVA F desc (name asc tie-break), take k."""
+    scores = anova_f_scores(df, cols, label_col)
+    ranked = sorted(cols, key=lambda c: (-scores[c], c))
+    return ranked[:k]
+
+
+def pfa(
+    matrix: np.ndarray,
+    feature_names: list[str],
+    explained_var: float = 0.9,
+    seed: int = 42,
+) -> list[str]:
+    """Principal Feature Analysis on a (rows x features) numpy matrix.
+    Returns the selected feature names (driver-side; post-agg matrices
+    are small by construction)."""
+    X = np.asarray(matrix, dtype=np.float64)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Z = (X - mu) / sd
+    # PCA via SVD of the standardized matrix
+    _, s, vt = np.linalg.svd(Z, full_matrices=False)
+    var = s**2
+    ratio = np.cumsum(var) / var.sum()
+    q = int(np.searchsorted(ratio, explained_var) + 1)
+    A = vt[:q].T  # (features x q) loadings
+    n_sel = max(1, q)
+    centers, labels = kmeans(A, n_sel, seed=seed)
+    selected = []
+    for ci in range(n_sel):
+        d = np.linalg.norm(A - centers[ci], axis=1)
+        selected.append(int(np.argmin(d)))
+    # unique, stable order
+    seen, out = set(), []
+    for i in selected:
+        if i not in seen:
+            seen.add(i)
+            out.append(feature_names[i])
+    return out
+
+
+def pfa_select(
+    df: DataFrame,
+    cols: list[str],
+    explained_var: float = 0.9,
+    seed: int = 42,
+) -> list[str]:
+    """Unsupervised selection (selection.py:59 -> PFA.py:46): collect the
+    (small) feature matrix and run PFA."""
+    pdf = df.select(*cols).toPandas()
+    return pfa(pdf.to_numpy(), cols, explained_var, seed)
