@@ -1,0 +1,131 @@
+"""Streaming continuous rollup (late-data re-roll converges to the batch
+result) and multimodal plumbing (schema/partitioning/batch shape real,
+decode stubbed deterministically)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from time2feat_spark.operators.multimodal import (
+    attach_media_meta,
+    audio_frame_stats,
+    image_features,
+)
+from time2feat_spark.operators.rollup import RollupConfig, rollup_points
+from time2feat_spark.streaming.continuous import ContinuousRollup
+
+CFG = RollupConfig(tiers=[("1m", 60), ("1h", 3600)], include_raw=False,
+                   compress=False,
+                   features=["variance", "median", "autocorr_lag1"])
+
+
+def _events(spark, n, t0="2024-01-01", seed=0):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp(t0) + pd.to_timedelta(
+        np.sort(rng.integers(0, 3 * 3600 * 1000, n)), unit="ms"
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": rng.choice(["a", "b"], n),
+                "ts": ts,
+                "value": np.round(rng.uniform(0, 100, n), 2),
+            }
+        )
+    )
+
+
+def test_continuous_rollup_converges_to_batch(spark, tmp_path):
+    """Two micro-batches (the second overlapping the first's windows =
+    late data) must produce exactly the batch rollup of all points."""
+    all_df = _events(spark, 600)
+    b1 = all_df.where(F.dayofyear("ts") >= 0).limit(400)  # first slice
+    b2 = all_df.exceptAll(b1)  # remainder, overlaps b1's chunks
+
+    cr = ContinuousRollup(
+        str(tmp_path / "staging"), str(tmp_path / "out"), ["key"], "ts",
+        "value", CFG,
+    )
+    cr.process_batch(b1, 0)
+    cr.process_batch(b2, 1)
+
+    got = (
+        cr.read_output(spark)
+        .toPandas()
+        .sort_values(["key", "tier", "window_start_ms"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_points(all_df, ["key"], "ts", "value", CFG)
+        .toPandas()
+        .sort_values(["key", "tier", "window_start_ms"])
+        .reset_index(drop=True)
+    )
+    got = got[want.columns]
+    assert len(got) == len(want)
+    for c in want.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(w.dtype, np.floating):
+            ok = (np.isnan(g) & np.isnan(w)) | (g == w)
+            assert ok.all(), c
+        else:
+            assert (g == w).all(), c
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """Real readStream (file source, availableNow) through foreachBatch."""
+    src = str(tmp_path / "src")
+    _events(spark, 300).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    cr = ContinuousRollup(
+        str(tmp_path / "staging"), str(tmp_path / "out"), ["key"], "ts",
+        "value", CFG,
+    )
+    q = cr.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = cr.read_output(spark)
+    want = rollup_points(
+        spark.read.parquet(src), ["key"], "ts", "value", CFG
+    )
+    assert got.count() == want.count()
+
+
+def test_image_features_stub(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "media": [b"\x89PNG fake one", b"\x89PNG fake two", b"\x89PNG fake one"],
+        }
+    )
+    df = attach_media_meta(spark.createDataFrame(pdf), "image", "png", 64, 64)
+    assert df.schema["media_meta"].dataType.fieldNames()[0] == "media_type"
+    out = image_features(df).toPandas().sort_values("doc_id")
+    assert list(out.columns) == ["doc_id", "n_bytes", "mean_px", "std_px", "thumb_vec"]
+    assert (out.n_bytes > 0).all()
+    assert all(len(v) == 64 for v in out.thumb_vec)
+    # deterministic fake decode: identical bytes => identical features
+    a, c = out.iloc[0], out.iloc[2]
+    assert a.mean_px == c.mean_px and list(a.thumb_vec) == list(c.thumb_vec)
+
+
+def test_image_decode_stub_raises_without_fake(spark):
+    pdf = pd.DataFrame({"doc_id": ["a"], "media": [b"x"]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        image_features(df, deterministic_fake=False).collect()
+
+
+def test_audio_frame_stats_stub(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": ["a", "b"], "media": [b"RIFF" * 600, b"RIFF" * 1200]}
+    )
+    out = audio_frame_stats(spark.createDataFrame(pdf)).toPandas()
+    assert set(out.columns) == {"doc_id", "frame", "rms"}
+    assert (out.groupby("doc_id").frame.count() >= 1).all()
+    assert ((out.rms >= 0) & (out.rms <= 1.2)).all()
