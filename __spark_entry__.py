@@ -866,6 +866,141 @@ def q_ladder_full(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# selection / pair-distance / multimodal operators
+# --------------------------------------------------------------------------
+
+def q_anova_f(spark, sf_dir):
+    """T1 ranking statistic: one-way ANOVA F per lineitem numeric with
+    l_returnflag as the class label (f_classif semantics)."""
+    from time2feat_spark.operators.selection import anova_f_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scores = anova_f_scores(li, cols, "l_returnflag")
+
+    def rb(x, inner, outer):
+        import math
+        s = 10.0 ** inner
+        x = math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
+        s = 10.0 ** outer
+        return math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
+
+    rows = [(c, rb(scores[c], 7, 4)) for c in cols]
+    return spark.createDataFrame(rows, "col_name string, f_score double")
+
+
+def _sql_anova_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       round(round(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 7), 4) AS f_score
+FROM (
+  SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss, count(*) AS k,
+         sum(s * s / n) AS sb
+  FROM (SELECT l_returnflag, count(*) AS n, sum({col}) AS s,
+               sum({col} * {col}) AS ss
+        FROM lineitem GROUP BY l_returnflag))
+"""
+
+
+SQL_ANOVA_F = " UNION ALL ".join(
+    _sql_anova_one(c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
+def q_pair_distances(spark, sf_dir):
+    """The reference's 8 inter-signal distances (extractor_pair.py:6-18)
+    over the first 4 embedding vectors treated as signals of one case."""
+    from time2feat_spark.operators.features import extract_pair_features
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 4)
+    df = emb.select(
+        F.lit("emb").alias("case_id"),
+        F.col("vec_id").cast("string").alias("signal"),
+        F.col("embedding").cast("array<double>").alias("values"),
+    )
+    out = extract_pair_features(df)
+    return out.select(
+        "metric",
+        F.col("sig_i").cast("long").alias("i"),
+        F.col("sig_j").cast("long").alias("j"),
+        _r4(F.col("dist")).alias("dist"),
+    )
+
+
+SQL_PAIR_DISTANCES = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 4),
+p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.e AS ea, b.e AS eb
+      FROM v a, v b WHERE a.vec_id < b.vec_id),
+u AS (SELECT i, j, unnest(ea) AS x, unnest(eb) AS y FROM p),
+agg AS (
+  SELECT i, j,
+         sum(abs(x - y)) AS sad,
+         max(abs(x - y)) AS mad,
+         sum((x - y) * (x - y)) AS ssd,
+         sum(abs(x + y)) AS sas,
+         sum(CASE WHEN abs(x) + abs(y) > 0 THEN abs(x - y) / (abs(x) + abs(y)) ELSE 0 END) AS canb,
+         sum(x * y) AS dotxy,
+         sum(x * x) AS dotxx,
+         sum(y * y) AS dotyy,
+         avg(x) AS mx, avg(y) AS my, count(*) AS d
+  FROM u GROUP BY i, j),
+agg2 AS (
+  SELECT i, j,
+         sum((x - mx) * (y - my)) AS cdot,
+         sum((x - mx) * (x - mx)) AS cxx,
+         sum((y - my) * (y - my)) AS cyy
+  FROM u JOIN agg USING (i, j) GROUP BY i, j)
+SELECT metric, i, j, round(round(dist, 7), 4) AS dist FROM (
+  SELECT 'cityblock' AS metric, i, j, sad AS dist FROM agg
+  UNION ALL SELECT 'chebyshev', i, j, mad FROM agg
+  UNION ALL SELECT 'euclidean', i, j, sqrt(ssd) FROM agg
+  UNION ALL SELECT 'minkowski', i, j, sqrt(ssd) FROM agg
+  UNION ALL SELECT 'braycurtis', i, j, sad / sas FROM agg
+  UNION ALL SELECT 'canberra', i, j, canb FROM agg
+  UNION ALL SELECT 'cosine', i, j, 1.0 - dotxy / (sqrt(dotxx) * sqrt(dotyy)) FROM agg
+  UNION ALL SELECT 'correlation', a2.i, a2.j, 1.0 - cdot / (sqrt(cxx) * sqrt(cyy)) FROM agg2 a2)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard on a small slice (rows-only: the
+    shingle hash family is engine-internal)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(d, min_jaccard=0.2)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_duplicates(emb, min_cosine=0.9)
+
+
+def q_image_features_stub(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque media blobs."""
+    from time2feat_spark.operators.multimodal import (
+        attach_media_meta,
+        image_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    d = attach_media_meta(d, "image", "png", 64, 64)
+    return image_features(d)
+
+
+def q_audio_frames_stub(spark, sf_dir):
+    from time2feat_spark.operators.multimodal import audio_frame_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return audio_frame_stats(d)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -916,6 +1051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "lsh_topk": q_lsh_topk,
         "ladder_full": q_ladder_full,
+        "anova_f": q_anova_f,
+        "pair_distances": q_pair_distances,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_features_stub": q_image_features_stub,
+        "audio_frames_stub": q_audio_frames_stub,
     }
 
 
@@ -949,4 +1090,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,
+        "anova_f": SQL_ANOVA_F,
+        "pair_distances": SQL_PAIR_DISTANCES,
     }
