@@ -223,6 +223,71 @@ def change_quantiles(x, ql, qh, isabs, f_agg):
     return float(agg(div[ind]))
 
 
+def has_duplicate(x):
+    return float(len(np.unique(x)) != len(x))
+
+
+def has_duplicate_max(x):
+    return float(np.sum(x == np.max(x)) >= 2)
+
+
+def has_duplicate_min(x):
+    return float(np.sum(x == np.min(x)) >= 2)
+
+
+def ratio_value_number_to_time_series_length(x):
+    return float(len(np.unique(x)) / len(x))
+
+
+def sum_of_reoccurring_values(x):
+    u, c = np.unique(x, return_counts=True)
+    return float(np.sum(u[c > 1]))
+
+
+def sum_of_reoccurring_data_points(x):
+    u, c = np.unique(x, return_counts=True)
+    return float(np.sum(u[c > 1] * c[c > 1]))
+
+
+def percentage_of_reoccurring_values_to_all_values(x):
+    _, c = np.unique(x, return_counts=True)
+    return float(np.sum(c > 1) / len(c))
+
+
+def percentage_of_reoccurring_datapoints_to_all_datapoints(x):
+    _, c = np.unique(x, return_counts=True)
+    return float(np.sum(c[c > 1]) / len(x))
+
+
+def index_mass_quantile(x, q):
+    absx = np.abs(x)
+    mc = np.cumsum(absx) / np.sum(absx)
+    return float((np.argmax(mc >= q) + 1) / len(x))
+
+
+def large_standard_deviation(x, r):
+    return float(np.std(x) > r * (np.max(x) - np.min(x)))
+
+
+def symmetry_looking(x, r):
+    return float(abs(np.mean(x) - np.median(x)) < r * (np.max(x) - np.min(x)))
+
+
+def fft_coefficient_abs(x, k):
+    spec = np.fft.rfft(x)
+    return float(np.abs(spec[k])) if k < len(spec) else np.nan
+
+
+def fft_aggregated(x, which):
+    l = np.abs(np.fft.rfft(x))
+    idx = np.arange(len(l), dtype=np.float64)
+    tot = l.sum()
+    mu = (l * idx).sum() / tot
+    if which == "centroid":
+        return float(mu)
+    return float((l * (idx - mu) ** 2).sum() / tot)
+
+
 def all_features(x, feature_names):
     """Evaluate the named rollup features for one window."""
     x = np.asarray(x, dtype=np.float64)
@@ -267,6 +332,20 @@ def all_features(x, feature_names):
             out[nm] = c3(x, 1)
         elif nm == "time_reversal_asymmetry_lag1":
             out[nm] = time_reversal_asymmetry_statistic(x, 1)
+        elif nm == "value_count_0":
+            out[nm] = float(np.sum(x == 0))
+        elif nm == "index_mass_quantile_50":
+            out[nm] = index_mass_quantile(x, 0.5)
+        elif nm == "large_standard_deviation_r25":
+            out[nm] = large_standard_deviation(x, 0.25)
+        elif nm == "symmetry_looking_r25":
+            out[nm] = symmetry_looking(x, 0.25)
+        elif nm.startswith("fft_coeff_abs_"):
+            out[nm] = fft_coefficient_abs(x, int(nm.removeprefix("fft_coeff_abs_")))
+        elif nm == "fft_centroid":
+            out[nm] = fft_aggregated(x, "centroid")
+        elif nm == "fft_variance":
+            out[nm] = fft_aggregated(x, "variance")
         else:
             out[nm] = globals()[nm](x)
     return out

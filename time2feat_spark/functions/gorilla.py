@@ -27,7 +27,9 @@ out-of-band (the tier table's `count` column).
 
 ``encode_ts_blocks`` / ``encode_val_blocks`` are fully vectorized across
 every block in a batch: per-field (code, nbits) pairs are laid out with a
-global cumsum of bit offsets and scattered in <=64 numpy rounds — no
+global cumsum of bit offsets, each field contributes to at most two 64-bit
+output words, and contributions are merged with one bitwise_or.reduceat
+pass (fields arrive in stream order, so word indices are sorted) — no
 per-point or per-block Python in the encode path (north_rule: no per-row
 Python). The decoders are sequential bit readers used for verification and
 point queries over small result sets, not in the write hot path.
@@ -68,14 +70,15 @@ def _ts_fields(dod: np.ndarray):
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64 (valid for x > 0)."""
-    bl = np.zeros(x.shape, dtype=np.int64)
-    v = x.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        big = v >= (_U64(1) << _U64(shift))
-        bl[big] += shift
-        v[big] >>= _U64(shift)
-    return 64 - (bl + 1)
+    """Vectorized count-leading-zeros for uint64 (valid for x > 0).
+    Split into 32-bit halves; each half is exactly representable in
+    float64, so frexp's exponent IS the bit length."""
+    hi = (x >> _U64(32)).astype(np.float64)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.float64)
+    _, e_hi = np.frexp(hi)
+    _, e_lo = np.frexp(lo)
+    bitlen = np.where(hi > 0, e_hi + 32, e_lo)
+    return 64 - bitlen.astype(np.int64)
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:
@@ -108,10 +111,16 @@ def _val_fields(xor: np.ndarray):
 
 def _pack_fields(codes, nbits, block_of_field, nblocks):
     """Pack variable-width fields MSB-first; blocks byte-aligned.
-    Fields must arrive block-contiguous, in stream order."""
-    blockbits = np.bincount(
-        block_of_field, weights=nbits.astype(np.float64), minlength=nblocks
-    ).astype(np.int64)
+    Fields must arrive block-contiguous, in stream order.
+
+    Word-level scatter: each field contributes to at most two 64-bit
+    big-endian words of the output; contributions are OR-merged with
+    bitwise_or.at — O(fields) work instead of O(total bits)."""
+    # fields are block-contiguous: first field index of each block via
+    # searchsorted, block bit totals via one reduceat pass
+    first_field = np.searchsorted(block_of_field, np.arange(nblocks))
+    blockbits = np.add.reduceat(nbits, first_field)
+    blockbits[np.diff(np.append(first_field, len(nbits))) == 0] = 0
     padded = ((blockbits + 7) // 8) * 8
     block_bit_start = np.zeros(nblocks + 1, dtype=np.int64)
     np.cumsum(padded, out=block_bit_start[1:])
@@ -122,16 +131,40 @@ def _pack_fields(codes, nbits, block_of_field, nblocks):
     offsets = block_bit_start[block_of_field] + start_in_block
 
     total_bits = int(block_bit_start[-1])
-    bitbuf = np.zeros(total_bits, dtype=np.uint8)
-    maxb = int(nbits.max()) if len(nbits) else 0
-    for b in range(maxb):
-        sel = nbits > b
-        if not sel.any():
-            continue
-        shift = (nbits[sel] - 1 - b).astype(np.uint64)
-        bitbuf[offsets[sel] + b] = ((codes[sel] >> shift) & _U64(1)).astype(np.uint8)
-    packed = np.packbits(bitbuf) if total_bits else np.empty(0, dtype=np.uint8)
+    if not total_bits:
+        return b"", block_bit_start // 8
+    n_words = (total_bits + 63) // 64 + 1  # +1 spill word for spans
+    buf = np.zeros(n_words, dtype=np.uint64)
+
+    w_idx = offsets >> 6
+    s = (offsets & 63).view(np.uint64)  # bit offset within word (from MSB)
+    nb = nbits.view(np.uint64)
+    # bits [s, s+nb) of word w, counted from the MSB
+    end = s + nb
+    fits = end <= 64
+    spans = ~fits
+    part1 = np.empty_like(codes)
+    part1[fits] = codes[fits] << (np.uint64(64) - end[fits])
+    if spans.any():
+        part1[spans] = codes[spans] >> (end[spans] - np.uint64(64))
+    _or_scatter_sorted(buf, w_idx, part1)
+    if spans.any():
+        part2 = codes[spans] << (np.uint64(128) - end[spans])
+        _or_scatter_sorted(buf, w_idx[spans] + 1, part2)
+
+    packed = buf.byteswap().view(np.uint8)[: (total_bits + 7) // 8]
     return packed.tobytes(), block_bit_start // 8
+
+
+def _or_scatter_sorted(buf: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+    """buf[idx] |= vals where idx is NON-DECREASING (stream order): group
+    equal indices with bitwise_or.reduceat — sequential C-speed, unlike the
+    random-access ufunc.at."""
+    if len(idx) == 0:
+        return
+    starts = np.concatenate(([0], np.nonzero(np.diff(idx))[0] + 1))
+    merged = np.bitwise_or.reduceat(vals, starts)
+    buf[idx[starts]] |= merged
 
 
 def _split(buf: bytes, byte_off: np.ndarray) -> list[bytes]:
@@ -139,18 +172,18 @@ def _split(buf: bytes, byte_off: np.ndarray) -> list[bytes]:
     return [bytes(mv[byte_off[i]: byte_off[i + 1]]) for i in range(len(byte_off) - 1)]
 
 
-def _layout(nblocks, counts, n, fields4):
-    """Interleave 1 header field + 4 fields per body point, block-major.
-    fields4 = [(code, nbits), ...] for prefix/payload of the body points."""
+def _layout(nblocks, counts, n, fields2):
+    """Interleave 1 header field + 2 fields (prefix, payload) per body
+    point, block-major. fields2 = [(code, nbits), (code, nbits)]."""
     starts = np.zeros(nblocks, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     nbody = n - nblocks
-    nfields = nblocks + 4 * nbody
+    nfields = nblocks + 2 * nbody
     codes = np.zeros(nfields, dtype=np.uint64)
     fbits = np.zeros(nfields, dtype=np.int64)
     fblock = np.zeros(nfields, dtype=np.int64)
 
-    fpb = 1 + 4 * (counts - 1)
+    fpb = 1 + 2 * (counts - 1)
     fstart = np.zeros(nblocks + 1, dtype=np.int64)
     np.cumsum(fpb, out=fstart[1:])
     hdr_idx = fstart[:-1]
@@ -164,8 +197,8 @@ def _layout(nblocks, counts, n, fields4):
         block_of_point = np.repeat(np.arange(nblocks), counts)
         within = np.arange(n) - starts[block_of_point]
         bop = block_of_point[body]
-        base = fstart[bop] + 1 + 4 * (within[body] - 1)
-        for off, (c, nb) in enumerate(fields4):
+        base = fstart[bop] + 1 + 2 * (within[body] - 1)
+        for off, (c, nb) in enumerate(fields2):
             codes[base + off] = c
             fbits[base + off] = nb
             fblock[base + off] = bop
@@ -201,11 +234,8 @@ def encode_ts_blocks(ts: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     dod = (delta - prev_delta)[~is_first]
 
     tpc, tpn, tpay, tpb = _ts_fields(dod)
-    # pad val-field slots with zero-length dummies to reuse the 4-slot layout
-    z = np.zeros(len(dod), dtype=np.uint64)
-    zb = np.zeros(len(dod), dtype=np.int64)
     codes, fbits, fblock, hdr_idx, _ = _layout(
-        nblocks, counts, n, [(tpc, tpn), (tpay, tpb), (z, zb), (z, zb)]
+        nblocks, counts, n, [(tpc, tpn), (tpay, tpb)]
     )
     codes[hdr_idx] = ts[starts].view(np.uint64)
     keep = fbits > 0
@@ -234,10 +264,8 @@ def encode_val_blocks(vals: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     xor_body = xor[~is_first]
 
     vpc, vpn, vpay, vpb = _val_fields(xor_body)
-    z = np.zeros(len(xor_body), dtype=np.uint64)
-    zb = np.zeros(len(xor_body), dtype=np.int64)
     codes, fbits, fblock, hdr_idx, _ = _layout(
-        nblocks, counts, n, [(vpc, vpn), (vpay, vpb), (z, zb), (z, zb)]
+        nblocks, counts, n, [(vpc, vpn), (vpay, vpb)]
     )
     codes[hdr_idx] = bits[starts]
     keep = fbits > 0

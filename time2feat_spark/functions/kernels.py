@@ -86,6 +86,23 @@ ROLLUP_FEATURES = (
         "ratio_beyond_1_sigma",
         "variation_coefficient",
         "absolute_maximum",
+        "has_duplicate",
+        "has_duplicate_max",
+        "has_duplicate_min",
+        "ratio_value_number_to_time_series_length",
+        "sum_of_reoccurring_values",
+        "sum_of_reoccurring_data_points",
+        "percentage_of_reoccurring_values_to_all_values",
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        "value_count_0",
+        "index_mass_quantile_50",
+        "large_standard_deviation_r25",
+        "symmetry_looking_r25",
+        "fft_coeff_abs_1",
+        "fft_coeff_abs_2",
+        "fft_coeff_abs_3",
+        "fft_centroid",
+        "fft_variance",
     ]
     + [f"energy_ratio_chunk{i}" for i in range(_N_CHUNKS)]
     + [
@@ -140,14 +157,38 @@ def _linspace_edges(lo: np.ndarray, hi: np.ndarray, nbins: int) -> np.ndarray:
     return edges
 
 
-def _masked_quantile(mat: np.ndarray, q: float | list[float]) -> np.ndarray:
-    """nanquantile with the all-NaN warning suppressed (all-NaN rows occur
-    legitimately: e.g. an empty change_quantiles corridor -> masked to 0)."""
-    import warnings
+def _q_from_sorted(
+    sorted_mat: np.ndarray, counts: np.ndarray, q: float
+) -> np.ndarray:
+    """Linear-interpolation quantile from a row-sorted matrix with NaN
+    padding at the end (np.sort sends NaN right). Replicates np.quantile's
+    'linear' method including its _lerp branch — but fully vectorized.
+    np.nanquantile is NOT usable here: with any NaN present it falls back
+    to a per-row apply_along_axis Python loop."""
+    n = counts.astype(np.float64)
+    virtual = q * (n - 1)
+    lo = np.floor(virtual).astype(np.int64)
+    frac = virtual - lo
+    hi = np.minimum(lo + 1, np.maximum(counts - 1, 0))
+    rows = np.arange(sorted_mat.shape[0])
+    a = sorted_mat[rows, np.clip(lo, 0, sorted_mat.shape[1] - 1)]
+    b = sorted_mat[rows, np.clip(hi, 0, sorted_mat.shape[1] - 1)]
+    diff = b - a
+    r = a + frac * diff
+    alt = b - (1 - frac) * diff
+    out = np.where(frac >= 0.5, alt, r)
+    return np.where(counts > 0, out, np.nan)
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)
-        return np.nanquantile(mat, q, axis=1, method="linear")
+
+def _masked_quantile(mat: np.ndarray, q: float | list[float]) -> np.ndarray:
+    """Quantiles of NaN-padded rows: one sort, vectorized interpolation.
+    Rows that are entirely NaN (e.g. empty change_quantiles corridor)
+    yield NaN (masked to 0 by the caller)."""
+    sorted_mat = np.sort(mat, axis=1)
+    counts = (~np.isnan(mat)).sum(axis=1)
+    if isinstance(q, (list, tuple, np.ndarray)):
+        return np.stack([_q_from_sorted(sorted_mat, counts, qq) for qq in q])
+    return _q_from_sorted(sorted_mat, counts, q)
 
 
 def window_stats(
@@ -179,7 +220,7 @@ def window_stats(
         out["mean"] = mean
 
         centered = mat - mean[:, None]
-        m2 = _nansum(centered**2) / n  # population variance (ddof=0)
+        m2 = _nansum(centered * centered) / n  # population variance (ddof=0)
         std = np.sqrt(m2)
         sq_sum = _nansum(mat**2)
 
@@ -195,24 +236,34 @@ def window_stats(
             out["absolute_maximum"] = np.nanmax(np.abs(mat), axis=1)
         if "variation_coefficient" in fset:
             out["variation_coefficient"] = std / mean
-        if "median" in fset:
-            out["median"] = _masked_quantile(mat, 0.5)
-
         qs = [q for q in _QUANTILES if f"q{int(q*100):02d}" in fset]
-        if qs:
-            vals = _masked_quantile(mat, qs)
-            for i, q in enumerate(qs):
-                out[f"q{int(q*100):02d}"] = vals[i]
+        cq_cfgs = [c for c in _CHANGE_Q
+                   if f"change_q_{int(c[0]*10)}_{int(c[1]*10)}_{int(c[2])}_{c[3]}" in fset]
+        _DUP_FEATS = {
+            "has_duplicate", "has_duplicate_max", "has_duplicate_min",
+            "ratio_value_number_to_time_series_length",
+            "sum_of_reoccurring_values", "sum_of_reoccurring_data_points",
+            "percentage_of_reoccurring_values_to_all_values",
+            "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        }
+        sorted_mat = None
+        if "median" in fset or qs or cq_cfgs or (fset & _DUP_FEATS):
+            sorted_mat = np.sort(mat, axis=1)  # NaN padding sorts right
+        if "median" in fset:
+            out["median"] = _q_from_sorted(sorted_mat, counts, 0.5)
+        for q in qs:
+            out[f"q{int(q*100):02d}"] = _q_from_sorted(sorted_mat, counts, q)
 
         # ---- moment shape stats (pandas G1/G2 estimators) ----
+        c2 = centered * centered
         if "skewness" in fset:
-            m3 = _nansum(centered**3) / n
+            m3 = _nansum(c2 * centered) / n
             g1 = m3 / np.where(m2 > 0, m2, np.nan) ** 1.5
             G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2)
             G1 = np.where(m2 == 0, 0.0, G1)
             out["skewness"] = np.where(counts >= 3, G1, np.nan)
         if "kurtosis" in fset:
-            m4 = _nansum(centered**4) / n
+            m4 = _nansum(c2 * c2) / n
             g2 = m4 / np.where(m2 > 0, m2, np.nan) ** 2 - 3.0
             G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
             G2 = np.where(m2 == 0, 0.0, G2)
@@ -372,11 +423,50 @@ def window_stats(
         if "binned_entropy_10" in fset:
             out["binned_entropy_10"] = _binned_entropy(mat, counts, 10)
 
+        # ---- duplicates / recurrence (from the sorted matrix) ----
+        if fset & _DUP_FEATS:
+            _duplicates(out, fset, sorted_mat, counts, n)
+
+        if "value_count_0" in fset:
+            out["value_count_0"] = np.nansum(mat == 0, axis=1).astype(np.float64)
+
+        if "index_mass_quantile_50" in fset:
+            # tsfresh index_mass_quantile: smallest i with
+            # cumsum(|x|)/sum(|x|) >= q, returned as (i+1)/n
+            absx = np.abs(mat)
+            tot = _nansum(absx)
+            mc = np.nancumsum(absx, axis=1) / tot[:, None]
+            idx = np.argmax(mc >= 0.5, axis=1)
+            out["index_mass_quantile_50"] = (idx + 1) / n
+
+        if "large_standard_deviation_r25" in fset:
+            rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
+            out["large_standard_deviation_r25"] = (std > 0.25 * rng_).astype(
+                np.float64
+            )
+        if "symmetry_looking_r25" in fset:
+            rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
+            med = (
+                out["median"]
+                if "median" in out
+                else _q_from_sorted(np.sort(mat, axis=1), counts, 0.5)
+            )
+            out["symmetry_looking_r25"] = (
+                np.abs(mean - med) < 0.25 * rng_
+            ).astype(np.float64)
+
+        # ---- FFT family (per distinct window length: DFT size must equal
+        # the unpadded series length for tsfresh parity) ----
+        fft_feats = [f for f in ("fft_coeff_abs_1", "fft_coeff_abs_2",
+                                 "fft_coeff_abs_3", "fft_centroid",
+                                 "fft_variance") if f in fset]
+        if fft_feats:
+            _fft_features(out, fft_feats, mat, counts)
+
         # ---- change_quantiles ----
-        cq = [c for c in _CHANGE_Q
-              if f"change_q_{int(c[0]*10)}_{int(c[1]*10)}_{int(c[2])}_{c[3]}" in fset]
+        cq = cq_cfgs
         if cq and d is not None:
-            _change_quantiles(out, mat, d, counts, cq)
+            _change_quantiles(out, mat, sorted_mat, d, counts, cq)
         elif cq:
             for (ql, qh, isabs, agg) in cq:
                 out[f"change_q_{int(ql*10)}_{int(qh*10)}_{int(isabs)}_{agg}"] = (
@@ -445,6 +535,7 @@ def _binned_entropy(mat: np.ndarray, counts: np.ndarray, nbins: int) -> np.ndarr
 def _change_quantiles(
     out: dict[str, np.ndarray],
     mat: np.ndarray,
+    sorted_mat: np.ndarray,
     d: np.ndarray,
     counts: np.ndarray,
     configs: list[tuple[float, float, bool, str]],
@@ -455,8 +546,7 @@ def _change_quantiles(
     """
     k = mat.shape[0]
     needed_q = sorted({q for c in configs for q in (c[0], c[1])})
-    qvals = _masked_quantile(mat, needed_q)  # (len(needed_q), k)
-    qmap = {q: qvals[i] for i, q in enumerate(needed_q)}
+    qmap = {q: _q_from_sorted(sorted_mat, counts, q) for q in needed_q}
     absd = np.abs(d)
     for (ql, qh, isabs, agg) in configs:
         name = f"change_q_{int(ql*10)}_{int(qh*10)}_{int(isabs)}_{agg}"
@@ -484,3 +574,114 @@ def _change_quantiles(
                 val = np.sqrt(var) if agg == "std" else var
         val = np.where(empty | degenerate, 0.0, val)
         out[name] = val
+
+
+def _duplicates(
+    out: dict[str, np.ndarray],
+    fset: set[str],
+    sorted_mat: np.ndarray,
+    counts: np.ndarray,
+    n: np.ndarray,
+) -> None:
+    """Duplicate/recurrence family, vectorized from the row-sorted matrix
+    (NaN padding never equals anything, so masks are automatically valid).
+    Formulas per tsfresh: unique counts via adjacent comparisons."""
+    k, w = sorted_mat.shape
+    if w < 2:
+        eq = np.zeros((k, 0), dtype=bool)
+    else:
+        eq = sorted_mat[:, 1:] == sorted_mat[:, :-1]
+    n_eq = eq.sum(axis=1).astype(np.float64)
+    n_unique = n - n_eq
+    if "has_duplicate" in fset:
+        out["has_duplicate"] = (n_eq > 0).astype(np.float64)
+    if "has_duplicate_max" in fset:
+        last = _take_at(sorted_mat, counts - 1)
+        last2 = _take_at(sorted_mat, np.maximum(counts - 2, 0))
+        out["has_duplicate_max"] = ((counts >= 2) & (last == last2)).astype(
+            np.float64
+        )
+    if "has_duplicate_min" in fset:
+        second = sorted_mat[:, 1] if w > 1 else np.full(k, np.nan)
+        out["has_duplicate_min"] = (
+            (counts >= 2) & (sorted_mat[:, 0] == second)
+        ).astype(np.float64)
+    if "ratio_value_number_to_time_series_length" in fset:
+        out["ratio_value_number_to_time_series_length"] = n_unique / n
+
+    need_groups = fset & {
+        "sum_of_reoccurring_values",
+        "sum_of_reoccurring_data_points",
+        "percentage_of_reoccurring_values_to_all_values",
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+    }
+    if not need_groups:
+        return
+    # group-start mask: col 0 (if valid) or value != left neighbor
+    valid = np.arange(w)[None, :] < counts[:, None]
+    start = np.ones((k, w), dtype=bool)
+    if w > 1:
+        start[:, 1:] = ~eq
+    start &= valid
+    # a position is in a duplicate group iff equal to either neighbor
+    in_dup = np.zeros((k, w), dtype=bool)
+    if w > 1:
+        in_dup[:, 1:] |= eq
+        in_dup[:, :-1] |= eq
+    dup_start = start & in_dup  # first element of each duplicate group
+    with np.errstate(invalid="ignore"):
+        if "sum_of_reoccurring_values" in fset:
+            out["sum_of_reoccurring_values"] = np.nansum(
+                np.where(dup_start, sorted_mat, 0.0), axis=1
+            )
+        if "sum_of_reoccurring_data_points" in fset:
+            out["sum_of_reoccurring_data_points"] = np.nansum(
+                np.where(in_dup, sorted_mat, 0.0), axis=1
+            )
+        if "percentage_of_reoccurring_values_to_all_values" in fset:
+            n_groups = start.sum(axis=1).astype(np.float64)
+            out["percentage_of_reoccurring_values_to_all_values"] = (
+                dup_start.sum(axis=1) / n_groups
+            )
+        if "percentage_of_reoccurring_datapoints_to_all_datapoints" in fset:
+            out["percentage_of_reoccurring_datapoints_to_all_datapoints"] = (
+                in_dup.sum(axis=1) / n
+            )
+
+
+def _fft_features(
+    out: dict[str, np.ndarray],
+    feats: list[str],
+    mat: np.ndarray,
+    counts: np.ndarray,
+) -> None:
+    """|rfft| coefficients and spectral centroid/variance (tsfresh
+    fft_coefficient / fft_aggregated semantics). The DFT length must be the
+    window's true point count, so windows are grouped by exact length —
+    most windows in a tier share one length, stragglers batch per length."""
+    k = mat.shape[0]
+    for f in feats:
+        out[f] = np.full(k, np.nan)
+    for cnt in np.unique(counts):
+        sel = np.nonzero(counts == cnt)[0]
+        sub = mat[sel, : int(cnt)]
+        spec = np.abs(np.fft.rfft(sub, axis=1))
+        nb = spec.shape[1]
+        for f in feats:
+            if f.startswith("fft_coeff_abs_"):
+                c = int(f.removeprefix("fft_coeff_abs_"))
+                if c < nb:
+                    out[f][sel] = spec[:, c]
+            elif f == "fft_centroid":
+                idx = np.arange(nb, dtype=np.float64)
+                tot = spec.sum(axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out[f][sel] = (spec * idx).sum(axis=1) / tot
+            elif f == "fft_variance":
+                idx = np.arange(nb, dtype=np.float64)
+                tot = spec.sum(axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mu = (spec * idx).sum(axis=1) / tot
+                    out[f][sel] = (
+                        spec * (idx[None, :] - mu[:, None]) ** 2
+                    ).sum(axis=1) / tot

@@ -20,8 +20,10 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # token arrays average ~1 KB; 10k rows/batch keeps Arrow batches ~10 MB
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # token arrays average ~4 KB; 1024 rows/batch keeps each kernel's padded
+    # window matrices ~100-150 MB — larger batches (e.g. one 7500-doc split)
+    # allocate GB-sized temporaries that blow caches and halve throughput
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.parquet.compression.codec": "zstd",
