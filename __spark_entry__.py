@@ -37,6 +37,8 @@ SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # window arithmetic and the DuckDB oracle both assume naive==UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

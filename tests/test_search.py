@@ -1,0 +1,72 @@
+"""Supervised grid-search selection (search.py / importance_old.py
+parity): partial labels on BasicMotions drive top-k selection; the
+selected features must cluster the full set well (reference's supervised
+mode reports AMI ~1.0 on BM, report.pdf Table 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time2feat_spark.operators.clustering import ClusterWrapper, ami
+from time2feat_spark.operators.features import extract_series_features
+from time2feat_spark.operators.search import rank_features, simple_grid_search
+from time2feat_spark.sources.ts_reader import bm_series_rows
+
+BM_TRAIN = "/root/reference/data/BasicMotions/BasicMotions_TRAIN.txt"
+
+
+@pytest.fixture(scope="module")
+def bm_features(spark):
+    rows = bm_series_rows(BM_TRAIN, "train")
+    bm = spark.createDataFrame(pd.DataFrame(rows))
+    feats = extract_series_features(bm, value_col="values").toPandas()
+    feats["case_id"] = feats.doc_id.str.slice(0, 12)
+    feats["signal"] = feats.doc_id.str.slice(13)
+    fc = [c for c in feats.columns if c.startswith("feat_")]
+    wide = feats.pivot(index="case_id", columns="signal", values=fc)
+    wide.columns = [f"{f}__{s}" for f, s in wide.columns]
+    wide = wide.dropna(axis=1)
+    labels = (
+        feats.drop_duplicates("case_id").set_index("case_id").source
+    )
+    return wide, labels
+
+
+def test_grid_search_selects_discriminative_features(spark, bm_features):
+    wide, labels = bm_features
+    sdf = spark.createDataFrame(wide.reset_index().rename(columns={"case_id": "doc_id"}))
+    cols = [c for c in wide.columns if not wide[c].isna().any()][:200]
+    # partial supervision: 4 labeled cases per class (demo.py:34-38 style)
+    train_labels = {}
+    for cls in labels.unique():
+        for cid in labels[labels == cls].index[:4]:
+            train_labels[cid] = cls
+    k, selected, score = simple_grid_search(
+        sdf, cols, train_labels, grid=[4, 16, 50]
+    )
+    assert k in (4, 16, 50) and len(selected) == k
+    assert score > 0.5  # NMI on the labeled subset
+
+    pred = ClusterWrapper(4).fit_predict(wide[selected].to_numpy())
+    full_ami = ami(labels.to_numpy(), pred)
+    assert full_ami >= 0.7, f"AMI {full_ami}"
+
+
+def test_domain_mode_spreads_families(spark, bm_features):
+    wide, labels = bm_features
+    sdf = spark.createDataFrame(
+        wide.reset_index().rename(columns={"case_id": "doc_id"})
+    )
+    lab_df = sdf.join(
+        spark.createDataFrame(
+            [(i, l) for i, l in labels.items()], "doc_id string, _label string"
+        ),
+        "doc_id",
+    )
+    cols = [c for c in wide.columns if not wide[c].isna().any()][:120]
+    top = rank_features(lab_df, cols, "_label", 12, mode="domain")
+    fams = {c.split("_")[1] for c in top}
+    assert len(top) == 12
+    assert len(fams) >= 3  # spread across feature families
