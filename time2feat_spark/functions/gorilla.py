@@ -172,36 +172,50 @@ def _split(buf: bytes, byte_off: np.ndarray) -> list[bytes]:
     return [bytes(mv[byte_off[i]: byte_off[i + 1]]) for i in range(len(byte_off) - 1)]
 
 
-def _layout(nblocks, counts, n, fields2):
-    """Interleave 1 header field + 2 fields (prefix, payload) per body
-    point, block-major. fields2 = [(code, nbits), (code, nbits)]."""
+def _layout(nblocks, counts, n, pc, pn, pay, pb):
+    """Field stream for n points in nblocks blocks: one 64-bit header per
+    block-first point; for body points, prefix and payload are MERGED into
+    a single field when their total width fits 64 bits (the emitted bit
+    stream is identical — purely fewer scatter operations), else two
+    fields. pc/pn/pay/pb are the body points' prefix/payload codes+widths
+    in stream order."""
     starts = np.zeros(nblocks, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    nbody = n - nblocks
-    nfields = nblocks + 2 * nbody
-    codes = np.zeros(nfields, dtype=np.uint64)
-    fbits = np.zeros(nfields, dtype=np.int64)
-    fblock = np.zeros(nfields, dtype=np.int64)
+    is_first = np.zeros(n, dtype=bool)
+    is_first[starts] = True
+    body = ~is_first
 
-    fpb = 1 + 2 * (counts - 1)
-    fstart = np.zeros(nblocks + 1, dtype=np.int64)
-    np.cumsum(fpb, out=fstart[1:])
-    hdr_idx = fstart[:-1]
-    fblock[hdr_idx] = np.arange(nblocks)
+    tot = pn + pb
+    fits = tot <= 64
+    # fields per point: 1 for headers and merged bodies, 2 for split bodies
+    nf = np.ones(n, dtype=np.int64)
+    nf[body] += (~fits).astype(np.int64)
+    fidx = np.zeros(n, dtype=np.int64)
+    np.cumsum(nf[:-1], out=fidx[1:])
+    nfields = int(fidx[-1] + nf[-1])
+
+    codes = np.empty(nfields, dtype=np.uint64)
+    fbits = np.empty(nfields, dtype=np.int64)
+    fblock = np.empty(nfields, dtype=np.int64)
+    block_of_point = np.repeat(np.arange(nblocks), counts)
+
+    # body fields
+    bidx = fidx[body]
+    mcode = np.where(fits, (pc << pb.view(np.uint64)) | pay, pc)
+    codes[bidx] = mcode
+    fbits[bidx] = np.where(fits, tot, pn)
+    fblock[bidx] = block_of_point[body]
+    splits = np.nonzero(~fits)[0]
+    if len(splits):
+        sidx = bidx[splits] + 1
+        codes[sidx] = pay[splits]
+        fbits[sidx] = pb[splits]
+        fblock[sidx] = block_of_point[body][splits]
+
+    # header fields (overwrite the slots reserved at block firsts)
+    hdr_idx = fidx[starts]
     fbits[hdr_idx] = 64
-
-    if nbody:
-        is_first = np.zeros(n, dtype=bool)
-        is_first[starts] = True
-        body = ~is_first
-        block_of_point = np.repeat(np.arange(nblocks), counts)
-        within = np.arange(n) - starts[block_of_point]
-        bop = block_of_point[body]
-        base = fstart[bop] + 1 + 2 * (within[body] - 1)
-        for off, (c, nb) in enumerate(fields2):
-            codes[base + off] = c
-            fbits[base + off] = nb
-            fblock[base + off] = bop
+    fblock[hdr_idx] = np.arange(nblocks)
     return codes, fbits, fblock, hdr_idx, starts
 
 
@@ -235,11 +249,10 @@ def encode_ts_blocks(ts: np.ndarray, offsets: np.ndarray) -> list[bytes]:
 
     tpc, tpn, tpay, tpb = _ts_fields(dod)
     codes, fbits, fblock, hdr_idx, _ = _layout(
-        nblocks, counts, n, [(tpc, tpn), (tpay, tpb)]
+        nblocks, counts, n, tpc, tpn, tpay, tpb
     )
     codes[hdr_idx] = ts[starts].view(np.uint64)
-    keep = fbits > 0
-    buf, byte_off = _pack_fields(codes[keep], fbits[keep], fblock[keep], nblocks)
+    buf, byte_off = _pack_fields(codes, fbits, fblock, nblocks)
     return _split(buf, byte_off)
 
 
@@ -265,11 +278,10 @@ def encode_val_blocks(vals: np.ndarray, offsets: np.ndarray) -> list[bytes]:
 
     vpc, vpn, vpay, vpb = _val_fields(xor_body)
     codes, fbits, fblock, hdr_idx, _ = _layout(
-        nblocks, counts, n, [(vpc, vpn), (vpay, vpb)]
+        nblocks, counts, n, vpc, vpn, vpay, vpb
     )
     codes[hdr_idx] = bits[starts]
-    keep = fbits > 0
-    buf, byte_off = _pack_fields(codes[keep], fbits[keep], fblock[keep], nblocks)
+    buf, byte_off = _pack_fields(codes, fbits, fblock, nblocks)
     return _split(buf, byte_off)
 
 
