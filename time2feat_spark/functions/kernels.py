@@ -463,6 +463,27 @@ def window_stats(
         if fft_feats:
             _fft_features(out, fft_feats, mat, counts)
 
+        # ---- autocorrelation aggregates / PACF (optional, not in the
+        # default rollup set: O(maxlag * k * w)) ----
+        agg_ac = [f for f in fset if f.startswith("agg_autocorr_")]
+        pacf_feats = [f for f in fset if f.startswith("pacf_lag")]
+        if agg_ac or pacf_feats:
+            maxlag = 40 if agg_ac else max(
+                int(f.removeprefix("pacf_lag")) for f in pacf_feats
+            )
+            maxlag = min(maxlag, w - 1) if w > 1 else 0
+            acf = np.full((max(maxlag, 1), k), np.nan)
+            for lag in range(1, maxlag + 1):
+                prod = centered[:, :-lag] * centered[:, lag:]
+                num = _nansum(prod)
+                denom = (n - lag) * m2
+                val = np.where((counts > lag) & (m2 > 0), num / denom, np.nan)
+                acf[lag - 1] = val
+            if agg_ac:
+                _agg_autocorr(out, agg_ac, acf, counts)
+            if pacf_feats:
+                _pacf(out, pacf_feats, acf, m2, counts)
+
         # ---- change_quantiles ----
         cq = cq_cfgs
         if cq and d is not None:
@@ -685,3 +706,70 @@ def _fft_features(
                     out[f][sel] = (
                         spec * (idx[None, :] - mu[:, None]) ** 2
                     ).sum(axis=1) / tot
+
+
+def _agg_autocorr(
+    out: dict[str, np.ndarray],
+    feats: list[str],
+    acf: np.ndarray,
+    counts: np.ndarray,
+) -> None:
+    """tsfresh agg_autocorrelation(f_agg, maxlag=40): f_agg over the
+    adjusted-denominator ACF at lags 1..min(40, n-1)."""
+    L, k = acf.shape
+    # mask lags >= n per window
+    lag_valid = (np.arange(1, L + 1)[:, None] < counts[None, :])
+    masked = np.where(lag_valid, acf, np.nan)
+    cnt = lag_valid.sum(axis=0).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for f in feats:
+            agg = f.split("_")[2]  # agg_autocorr_<agg>_40
+            if agg == "mean":
+                out[f] = np.nansum(masked, axis=0) / cnt
+            elif agg == "median":
+                out[f] = _masked_quantile(masked.T, 0.5)
+            elif agg == "var":
+                mu = np.nansum(masked, axis=0) / cnt
+                dev = np.where(lag_valid, (masked - mu[None, :]) ** 2, np.nan)
+                out[f] = np.nansum(dev, axis=0) / cnt
+            out[f] = np.where(cnt > 0, out[f], np.nan)
+
+
+def _pacf(
+    out: dict[str, np.ndarray],
+    feats: list[str],
+    acf: np.ndarray,
+    m2: np.ndarray,
+    counts: np.ndarray,
+) -> None:
+    """Partial autocorrelation via the Durbin-Levinson recursion on the
+    adjusted-denominator ACF (documented convention; statsmodels offers
+    several estimators — this one is self-consistent and tested against a
+    scalar Durbin-Levinson oracle)."""
+    want = {int(f.removeprefix("pacf_lag")) for f in feats}
+    maxlag = max(want)
+    L, k = acf.shape
+    maxlag = min(maxlag, L)
+    # phi[j] = phi_{m,j} for the current order m (vectors of length k)
+    phi = np.zeros((maxlag + 1, k))
+    prev = np.zeros((maxlag + 1, k))
+    pacf_vals = np.full((maxlag + 1, k), np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for m in range(1, maxlag + 1):
+            if m == 1:
+                phi[1] = acf[0]
+            else:
+                num = acf[m - 1] - sum(prev[j] * acf[m - 1 - j] for j in range(1, m))
+                den = 1.0 - sum(prev[j] * acf[j - 1] for j in range(1, m))
+                phi[m] = num / den
+                for j in range(1, m):
+                    phi[j] = prev[j] - phi[m] * prev[m - j]
+            pacf_vals[m] = phi[m]
+            prev[: m + 1] = phi[: m + 1]
+    for f in feats:
+        lag = int(f.removeprefix("pacf_lag"))
+        if lag <= maxlag:
+            v = pacf_vals[lag]
+            out[f] = np.where((counts > lag) & (m2 > 0), v, np.nan)
+        else:
+            out[f] = np.full(k, np.nan)
