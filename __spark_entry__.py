@@ -1003,6 +1003,52 @@ def q_audio_frames_stub(spark, sf_dir):
     return audio_frame_stats(d)
 
 
+
+
+def q_rollup_1d_nonlinear(spark, sf_dir):
+    """c3, time-reversal asymmetry, and energy_ratio chunk 0 per window —
+    the nonlinearity/energy family (tsfresh c3 / time_reversal_asymmetry_
+    statistic / energy_ratio_by_chunks semantics)."""
+    r = _events_rollup(spark, sf_dir, "1d", 86400,
+                       features=["c3_lag1", "time_reversal_asymmetry_lag1",
+                                 "energy_ratio_chunk0"])
+    return r.select(
+        "event_type",
+        F.col("window_start_ms").alias("window_ms"),
+        F.col("count"),
+        _r2(F.col("feat_c3_lag1")).alias("c3_v"),
+        _r2(F.col("feat_time_reversal_asymmetry_lag1")).alias("trev_v"),
+        _r4(F.col("feat_energy_ratio_chunk0")).alias("er0_v"),
+    )
+
+
+SQL_ROLLUP_1D_NONLINEAR = f"""
+WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
+l AS (
+  SELECT event_type, window_ms, value,
+         value * lead(value, 1) OVER win * lead(value, 2) OVER win AS c3term,
+         lead(value, 2) OVER win * lead(value, 2) OVER win
+           * lead(value, 1) OVER win
+           - lead(value, 1) OVER win * value * value AS trevterm,
+         CASE WHEN row_number() OVER win - 1 <
+                   (count(*) OVER p) // 10
+                   + CASE WHEN (count(*) OVER p) % 10 >= 1 THEN 1 ELSE 0 END
+              THEN value * value END AS e0term,
+         count(*) OVER p AS n
+  FROM w
+  WINDOW win AS (PARTITION BY event_type, window_ms ORDER BY tms, value),
+         p AS (PARTITION BY event_type, window_ms))
+SELECT event_type, window_ms, max(n) AS count,
+       CASE WHEN max(n) > 2
+            THEN round(round(sum(c3term) / (max(n) - 2), 5), 2) END AS c3_v,
+       CASE WHEN max(n) > 2
+            THEN round(round(sum(trevterm) / (max(n) - 2), 5), 2)
+            ELSE 0 END AS trev_v,
+       round(round(sum(e0term) / sum(value * value), 7), 4) AS er0_v
+FROM l GROUP BY event_type, window_ms
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1027,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_autocorr": q_rollup_1d_autocorr,
         "rollup_1d_mean_counts": q_rollup_1d_mean_counts,
         "rollup_1d_trend": q_rollup_1d_trend,
+        "rollup_1d_nonlinear": q_rollup_1d_nonlinear,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "seq_1m_basic": q_seq_1m_basic,
@@ -1071,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_autocorr": SQL_ROLLUP_1D_AUTOCORR,
         "rollup_1d_mean_counts": SQL_ROLLUP_1D_MEAN_COUNTS,
         "rollup_1d_trend": SQL_ROLLUP_1D_TREND,
+        "rollup_1d_nonlinear": SQL_ROLLUP_1D_NONLINEAR,
         "gapfill_locf_1h": SQL_GAPFILL_LOCF_1H,
         "gapfill_linear_1h": SQL_GAPFILL_LINEAR_1H,
         "seq_1m_basic": sql_seq_1m_basic("sf0.01"),
