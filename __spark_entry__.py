@@ -30,7 +30,6 @@ from time2feat_spark.operators.rollup import (
 from time2feat_spark.operators import dedup as D
 from time2feat_spark.operators import text as T
 from time2feat_spark.operators import similarity as S
-from time2feat_spark.generator import write_sequences
 
 SEQ_CACHE = "/root/repo/.cache"
 SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
@@ -42,19 +41,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _seq_path(sf_dir: str) -> str:
-    base = os.path.basename(sf_dir.rstrip("/"))
-    return f"{SEQ_CACHE}/sequences_{base}.parquet"
+def _ensure_sequences(sf_base: str) -> str:
+    """Deterministic sequences table cached as a single parquet file so the
+    DuckDB oracle reads the identical rows. Generated with pyarrow directly
+    (no Spark) so either side — queries() or oracle_sql() — can
+    materialize it first."""
+    path = f"{SEQ_CACHE}/sequences_{sf_base}.parquet"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        from time2feat_spark.generator import gen_arrow
+
+        os.makedirs(SEQ_CACHE, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(gen_arrow(0, SEQ_ROWS.get(sf_base, 1500)), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sequences table cached as parquet so the DuckDB oracle
-    can read the identical rows (generator is seeded; same rows always)."""
     base = os.path.basename(sf_dir.rstrip("/"))
-    path = _seq_path(sf_dir)
-    if not os.path.exists(path + "/_SUCCESS"):
-        write_sequences(spark, path, SEQ_ROWS.get(base, 1500))
-    return spark.read.parquet(path)
+    return spark.read.parquet(_ensure_sequences(base))
 
 
 def _nn(c):
@@ -391,7 +398,7 @@ _SEQ_SQL = """
     SELECT doc_id,
            unnest(tokens) AS v,
            generate_subscripts(tokens, 1) - 1 AS k
-    FROM read_parquet('{path}/*.parquet')
+    FROM read_parquet('{path}')
 """
 
 
@@ -413,7 +420,7 @@ def q_seq_1m_basic(spark, sf_dir):
 
 
 def sql_seq_1m_basic(sf_base: str) -> str:
-    path = f"{SEQ_CACHE}/sequences_{sf_base}.parquet"
+    path = _ensure_sequences(sf_base)
     return f"""
 WITH pts AS ({_SEQ_SQL.format(path=path)})
 SELECT doc_id,
@@ -445,7 +452,7 @@ def q_seq_1h_energy(spark, sf_dir):
 
 
 def sql_seq_1h_energy(sf_base: str) -> str:
-    path = f"{SEQ_CACHE}/sequences_{sf_base}.parquet"
+    path = _ensure_sequences(sf_base)
     return f"""
 WITH pts AS ({_SEQ_SQL.format(path=path)}),
 w AS (
@@ -616,25 +623,27 @@ SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
 
 def q_column_profile(spark, sf_dir):
     """Column-wise cleaning profile (P2-P5: NaN/constant/variance filters)
-    as one agg pass over lineitem numerics."""
+    in ONE aggregation pass over lineitem (a single scan computes every
+    column's profile; stack() unpivots the 1-row result)."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    rows = []
+    aggs = []
     for c in cols:
-        rows.append(
-            li.agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.when(F.col(c).isNull() | F.isnan(c), 1)).alias(
-                    "n_bad"
-                ),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                _r4(F.var_pop(c)).alias("var_pop_v"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        bad = F.col(c).isNull() | F.isnan(c)
+        aggs += [
+            F.count(F.when(bad, 1)).alias(f"bad__{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd__{c}"),
+            F.var_pop(c).alias(f"var__{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', bad__{c}, nd__{c}, var__{c}" for c in cols)
+    out = row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_bad, n_distinct, var_raw)"
+    )
+    return out.select(
+        "col_name", "n_bad", "n_distinct",
+        _r4(F.col("var_raw")).alias("var_pop_v"),
+    )
 
 
 SQL_COLUMN_PROFILE = """
