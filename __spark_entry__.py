@@ -1058,6 +1058,77 @@ FROM l GROUP BY event_type, window_ms
 """
 
 
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine operator; Spark has no built-in): for each
+    purchase event, the latest preceding view event's value per user."""
+    from time2feat_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, ["user_id"], "ts", ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+        _r4(F.col("value")).alias("purchase_v"),
+        _r4(F.col("value_asof")).alias("last_view_v"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_ms(ts) AS tms, value
+      FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.tms,
+       round(round(p.value, 7), 4) AS purchase_v,
+       round(round(v.value, 7), 4) AS last_view_v
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.tms <= p.tms
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute gaps) per user: session count
+    and per-session event stats."""
+    from time2feat_spark.operators.asof import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 30 * 60)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("session_start_ms"),
+        _r4(F.avg("value")).alias("mean_v"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, epoch_ms(ts) AS tms, value,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, tms, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tms) AS session_start_ms,
+       round(round(avg(value), 7), 4) AS mean_v
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1083,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_mean_counts": q_rollup_1d_mean_counts,
         "rollup_1d_trend": q_rollup_1d_trend,
         "rollup_1d_nonlinear": q_rollup_1d_nonlinear,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "seq_1m_basic": q_seq_1m_basic,
@@ -1128,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_mean_counts": SQL_ROLLUP_1D_MEAN_COUNTS,
         "rollup_1d_trend": SQL_ROLLUP_1D_TREND,
         "rollup_1d_nonlinear": SQL_ROLLUP_1D_NONLINEAR,
+        "asof_join": SQL_ASOF_JOIN,
+        "sessionize": SQL_SESSIONIZE,
         "gapfill_locf_1h": SQL_GAPFILL_LOCF_1H,
         "gapfill_linear_1h": SQL_GAPFILL_LINEAR_1H,
         "seq_1m_basic": sql_seq_1m_basic("sf0.01"),

@@ -101,6 +101,10 @@ def run_default() -> dict:
     seq_path = _bench_sequences_path(spark)
     queries: dict[str, float] = {}
 
+    # measure sustained throughput, not fork/JIT cold start
+    spark.read.parquet(seq_path).count()
+    _warm_python_workers(spark)
+
     t0 = time.time()
     ladder = run_ladder(spark, seq_path)
     queries["ladder_sequences"] = round(ladder["sec"], 3)

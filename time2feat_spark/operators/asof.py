@@ -1,0 +1,85 @@
+"""As-of join and session windows — time-series operators Spark lacks as
+built-ins (SURVEY.md §2.3 notes the reference has none either; the engine
+provides them as compositions of existing DataFrame ops, the preferred
+strategy before reaching for UDFs).
+
+asof_join: for each left row, the latest right row with
+right.ts <= left.ts on the same key — implemented as a tagged union +
+one window pass (`last(..., ignoreNulls)`), i.e. a single sort-based
+shuffle on (key), no per-row Python, no range-join explosion. Ties at
+equal timestamps resolve to the right row (side ordering), matching
+DuckDB/kdb ASOF semantics.
+
+sessionize: gap-based sessions (new session when the gap to the previous
+event exceeds `gap`): lag + cumulative sum of session starts — the same
+one-shuffle shape. Spark's native F.session_window covers the streaming
+case; this batch formulation is exactly SQL-translatable for oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row plus the most recent right
+    `value_cols` at or before its timestamp (NULL when none)."""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        *on, ts_col, *[F.col(c).alias(f"{c}{suffix}") for c in value_cols]
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        "_side",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session ids: a row starts a new session when it is
+    more than `gap_seconds` after the previous row of its key. Adds
+    `session_id` (0-based per key, in time order)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | (
+            F.unix_millis(F.col(ts_col).cast("timestamp"))
+            - F.unix_millis(prev.cast("timestamp"))
+            > gap_seconds * 1000
+        )
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )
