@@ -88,10 +88,26 @@ def run_ladder(spark, seq_path: str) -> dict:
     wall = time.time() - t0
     stats = (
         spark.read.parquet(out_path)
-        .agg(F.sum("count").alias("pts"), F.count(F.lit(1)).alias("windows"))
+        .agg(
+            F.sum("count").alias("pts"),
+            F.count(F.lit(1)).alias("windows"),
+            F.sum(
+                F.coalesce(F.length("val_gorilla"), F.lit(0))
+                + F.coalesce(F.length("ts_gorilla"), F.lit(0))
+            ).alias("gorilla_bytes"),
+        )
         .first()
     )
-    return {"sec": wall, "rolled_points": int(stats.pts), "windows": int(stats.windows)}
+    return {
+        "sec": wall,
+        "rolled_points": int(stats.pts),
+        "windows": int(stats.windows),
+        "gorilla_bytes": int(stats.gorilla_bytes or 0),
+        # raw = 16 B/point (int64 ts + float64 value) per tier row it appears in
+        "compression_ratio": round(16.0 * stats.pts / stats.gorilla_bytes, 3)
+        if stats.gorilla_bytes
+        else None,
+    }
 
 
 def run_default() -> dict:
@@ -137,6 +153,8 @@ def run_default() -> dict:
         "rolled_points": ladder["rolled_points"],
         "windows": ladder["windows"],
         "points_per_sec": int(pps),
+        "gorilla_bytes": ladder["gorilla_bytes"],
+        "compression_ratio": ladder["compression_ratio"],
         "cpus": int(CPUS),
     }
 
