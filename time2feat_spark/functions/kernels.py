@@ -538,9 +538,11 @@ def _binned_entropy(mat: np.ndarray, counts: np.ndarray, nbins: int) -> np.ndarr
     same = hi == lo
     edges = _linspace_edges(lo, np.where(same, lo + 1, hi), nbins)
     # bin index per np.histogram: count of interior edges <= x (right-open
-    # bins; the max lands in the last bin because edge[-1] comparisons use <=)
-    interior = edges[:, 1:-1]  # (k, nbins-1)
-    b = (mat[:, :, None] >= interior[:, None, :]).sum(axis=2)  # (k, w)
+    # bins; the max lands in the last bin because edge[-1] comparisons use
+    # <=). Accumulated edge-by-edge to avoid a (k, w, nbins) allocation.
+    b = np.zeros(mat.shape, dtype=np.int64)
+    for j in range(1, nbins):
+        b += mat >= edges[:, j][:, None]
     b = np.where(np.isnan(mat), -1, b)
     hist = np.zeros((k, nbins), dtype=np.float64)
     rows = np.repeat(np.arange(k), w)

@@ -87,9 +87,13 @@ def stats_ragged(
         w = int(b)
         col = np.arange(w)
         idx = starts[sel][:, None] + col[None, :]
-        mask = col[None, :] < counts[sel][:, None]
-        mat = flat[np.where(mask, idx, 0)].astype(np.float64, copy=False)
-        mat = np.where(mask, mat, np.nan)
+        if (counts[sel] == w).all():
+            # full windows: plain gather, no padding mask needed
+            mat = flat[idx].astype(np.float64, copy=False)
+        else:
+            mask = col[None, :] < counts[sel][:, None]
+            mat = flat[np.where(mask, idx, 0)].astype(np.float64, copy=False)
+            mat = np.where(mask, mat, np.nan)
         st = window_stats(mat, counts[sel], features)
         if out is None:
             out = {nm: np.empty(k, dtype=v.dtype) for nm, v in st.items()}
