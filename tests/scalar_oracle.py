@@ -180,12 +180,41 @@ def last_location_of_minimum(x):
     return float(1.0 - np.argmin(x[::-1]) / len(x))
 
 
+def _linregress(x):
+    t = np.arange(len(x), dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    slope, intercept = np.polyfit(t, x, 1)
+    tc, xc = t - t.mean(), x - x.mean()
+    denom = np.sqrt((tc**2).sum() * (xc**2).sum())
+    r = float((tc * xc).sum() / denom) if denom > 0 else 0.0
+    n = len(x)
+    ss_res = float(((x - (slope * t + intercept)) ** 2).sum())
+    se = np.sqrt(ss_res / max(n - 2, 1) / (tc**2).sum()) if n > 2 else np.nan
+    return float(slope), float(intercept), r, float(se)
+
+
 def linear_trend_slope(x):
     if len(x) < 2:
         return np.nan
-    t = np.arange(len(x), dtype=np.float64)
-    # least-squares slope = cov(t, x) / var(t)
-    return float(np.polyfit(t, np.asarray(x, dtype=np.float64), 1)[0])
+    return _linregress(x)[0]
+
+
+def linear_trend_intercept(x):
+    if len(x) < 2:
+        return np.nan
+    return _linregress(x)[1]
+
+
+def linear_trend_rvalue(x):
+    if len(x) < 2:
+        return np.nan
+    return _linregress(x)[2]
+
+
+def linear_trend_stderr(x):
+    if len(x) < 3:
+        return np.nan
+    return _linregress(x)[3]
 
 
 def energy_ratio_by_chunks(x, num_segments, segment_focus):

@@ -80,6 +80,9 @@ ROLLUP_FEATURES = (
         "first_location_of_minimum",
         "last_location_of_minimum",
         "linear_trend_slope",
+        "linear_trend_intercept",
+        "linear_trend_rvalue",
+        "linear_trend_stderr",
         "binned_entropy_10",
         "c3_lag1",
         "time_reversal_asymmetry_lag1",
@@ -391,16 +394,37 @@ def window_stats(
                 last_mn = np.where(mat == mn, idxs, -1).max(axis=1)
                 out["last_location_of_minimum"] = (last_mn + 1) / n
 
-        # ---- linear trend (least-squares slope over t = 0..n-1) ----
-        if "linear_trend_slope" in fset:
+        # ---- linear trend (least squares over t = 0..n-1; scipy
+        # linregress closed forms: slope, intercept, r, stderr) ----
+        lt_feats = fset & {"linear_trend_slope", "linear_trend_intercept",
+                           "linear_trend_rvalue", "linear_trend_stderr"}
+        if lt_feats:
             t = np.arange(w, dtype=np.float64)[None, :]
             tmask = np.where(np.isnan(mat), np.nan, t)
             st = _nansum(tmask)
             stt = _nansum(tmask**2)
             stx = _nansum(np.where(np.isnan(mat), np.nan, t * mat))
-            denom = stt - st * st / n
-            slope = (stx - st * s / n) / denom
-            out["linear_trend_slope"] = np.where(counts > 1, slope, np.nan)
+            sst_t = stt - st * st / n  # sum (t - tbar)^2
+            cov_tx = stx - st * s / n  # sum (t - tbar)(x - xbar)
+            slope = cov_tx / sst_t
+            if "linear_trend_slope" in fset:
+                out["linear_trend_slope"] = np.where(counts > 1, slope, np.nan)
+            if "linear_trend_intercept" in fset:
+                out["linear_trend_intercept"] = np.where(
+                    counts > 1, mean - slope * (st / n), np.nan
+                )
+            sst_x = m2 * n  # sum (x - xbar)^2
+            if "linear_trend_rvalue" in fset:
+                denom_r = np.sqrt(sst_t * sst_x)
+                r = np.where(denom_r > 0, cov_tx / denom_r, 0.0)
+                out["linear_trend_rvalue"] = np.where(counts > 1, r, np.nan)
+            if "linear_trend_stderr" in fset:
+                # sqrt(residual variance / sst_t), df = n - 2
+                ss_res = sst_x - slope * cov_tx
+                se = np.sqrt(
+                    np.maximum(ss_res, 0.0) / np.maximum(n - 2, 1) / sst_t
+                )
+                out["linear_trend_stderr"] = np.where(counts > 2, se, np.nan)
 
         # ---- energy ratio by chunks (tsfresh np.array_split semantics) ----
         er = [f for f in fset if f.startswith("energy_ratio_chunk")]

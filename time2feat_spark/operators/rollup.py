@@ -404,6 +404,13 @@ def rollup_points(
     key_fields = [df.schema[c] for c in key_cols]
     schema = points_flat_schema(cfg, key_fields)
 
+    # null/NaN points carry no information for any statistic — drop them
+    # scan-side (predicate pushdown) so kernels see only real samples
+    df = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(val_col).isNotNull()
+        & ~F.isnan(F.col(val_col).cast("double"))
+    )
     # cast handles TIMESTAMP_NTZ inputs; session TZ is UTC so the instant
     # is the naive wall time, matching DuckDB's naive timestamps
     chunked = df.withColumn(
