@@ -351,24 +351,34 @@ def all_features(x, feature_names):
             out[nm] = cid_ce(x, True)
         elif nm == "number_crossing_0":
             out[nm] = number_crossing_m(x, 0)
-        elif nm == "number_peaks_3":
-            out[nm] = number_peaks(x, 3)
-        elif nm == "ratio_beyond_1_sigma":
-            out[nm] = ratio_beyond_r_sigma(x, 1)
-        elif nm == "binned_entropy_10":
-            out[nm] = binned_entropy(x, 10)
-        elif nm == "c3_lag1":
-            out[nm] = c3(x, 1)
-        elif nm == "time_reversal_asymmetry_lag1":
-            out[nm] = time_reversal_asymmetry_statistic(x, 1)
-        elif nm == "value_count_0":
-            out[nm] = float(np.sum(x == 0))
-        elif nm == "index_mass_quantile_50":
-            out[nm] = index_mass_quantile(x, 0.5)
-        elif nm == "large_standard_deviation_r25":
-            out[nm] = large_standard_deviation(x, 0.25)
-        elif nm == "symmetry_looking_r25":
-            out[nm] = symmetry_looking(x, 0.25)
+        elif nm.startswith("number_peaks_"):
+            out[nm] = number_peaks(x, int(nm.removeprefix("number_peaks_")))
+        elif nm.startswith("ratio_beyond_"):
+            spec = nm.removeprefix("ratio_beyond_").removesuffix("_sigma")
+            spec = spec.removeprefix("r").replace("_", ".")
+            out[nm] = ratio_beyond_r_sigma(x, float(spec))
+        elif nm.startswith("binned_entropy_"):
+            out[nm] = binned_entropy(x, int(nm.removeprefix("binned_entropy_")))
+        elif nm.startswith("c3_lag"):
+            out[nm] = c3(x, int(nm.removeprefix("c3_lag")))
+        elif nm.startswith("time_reversal_asymmetry_lag"):
+            out[nm] = time_reversal_asymmetry_statistic(
+                x, int(nm.removeprefix("time_reversal_asymmetry_lag"))
+            )
+        elif nm.startswith("value_count_"):
+            out[nm] = float(np.sum(x == float(nm.removeprefix("value_count_"))))
+        elif nm.startswith("index_mass_quantile_"):
+            out[nm] = index_mass_quantile(
+                x, int(nm.removeprefix("index_mass_quantile_")) / 100
+            )
+        elif nm.startswith("large_standard_deviation_r"):
+            out[nm] = large_standard_deviation(
+                x, int(nm.removeprefix("large_standard_deviation_r")) / 100
+            )
+        elif nm.startswith("symmetry_looking_r"):
+            out[nm] = symmetry_looking(
+                x, int(nm.removeprefix("symmetry_looking_r")) / 100
+            )
         elif nm.startswith("fft_coeff_abs_"):
             out[nm] = fft_coefficient_abs(x, int(nm.removeprefix("fft_coeff_abs_")))
         elif nm == "fft_centroid":

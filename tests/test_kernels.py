@@ -83,3 +83,37 @@ def test_shuffled_batch_order_invariance():
         x, y = a[name][perm], b[name]
         both_nan = np.isnan(x) & np.isnan(y)
         assert np.all(both_nan | (x == y)), name
+
+
+EXOTIC = [
+    "q33", "q07", "autocorr_lag7", "autocorr_lag12", "c3_lag2",
+    "time_reversal_asymmetry_lag3", "number_peaks_5",
+    "ratio_beyond_r0_5_sigma", "ratio_beyond_r2_sigma", "binned_entropy_5",
+    "index_mass_quantile_25", "value_count_7",
+    "large_standard_deviation_r05", "symmetry_looking_r10",
+    "change_q_0_6_1_var", "change_q_2_6_0_median", "fft_coeff_abs_7",
+]
+
+
+@pytest.mark.parametrize("idx", [5, 6, 8, 10])
+def test_parametric_feature_names(idx):
+    """Any grid cell of the tsfresh parameter space is requestable by
+    name (selective re-extraction, SURVEY.md §3.3) — not just the default
+    subset."""
+    win = WINDOWS[idx]
+    got = _vectorized_features(win, EXOTIC)
+    want = all_features(win, EXOTIC)
+    for name in EXOTIC:
+        g, w = got[name], want[name]
+        if np.isnan(w):
+            assert np.isnan(g), name
+        else:
+            assert g == pytest.approx(w, rel=1e-10, abs=1e-12), (
+                f"{name}: {g} != {w}"
+            )
+
+
+def _vectorized_features(win, feats):
+    flat = win.astype(np.float64)
+    st = stats_ragged(flat, np.array([0]), np.array([len(flat)]), feats)
+    return {k: float(v[0]) for k, v in st.items()}

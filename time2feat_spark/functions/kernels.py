@@ -21,6 +21,8 @@ bit-identical regardless of Spark partitioning/parallelism (SURVEY.md §7.5).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 __all__ = [
@@ -239,9 +241,23 @@ def window_stats(
             out["absolute_maximum"] = np.nanmax(np.abs(mat), axis=1)
         if "variation_coefficient" in fset:
             out["variation_coefficient"] = std / mean
-        qs = [q for q in _QUANTILES if f"q{int(q*100):02d}" in fset]
-        cq_cfgs = [c for c in _CHANGE_Q
-                   if f"change_q_{int(c[0]*10)}_{int(c[1]*10)}_{int(c[2])}_{c[3]}" in fset]
+        # feature names are parametric: any grid cell of the tsfresh
+        # parameter space can be requested by name (selective
+        # re-extraction, SURVEY.md §3.3)
+        qs = sorted(
+            int(m[1]) / 100
+            for f in fset
+            if (m := re.fullmatch(r"q(\d{2})", f))
+        )
+        cq_cfgs = []
+        for f in fset:
+            m = re.fullmatch(
+                r"change_q_(\d+)_(\d+)_([01])_(mean|var|std|median)", f
+            )
+            if m:
+                cq_cfgs.append(
+                    (int(m[1]) / 10, int(m[2]) / 10, bool(int(m[3])), m[4])
+                )
         _DUP_FEATS = {
             "has_duplicate", "has_duplicate_max", "has_duplicate_min",
             "ratio_value_number_to_time_series_length",
@@ -309,10 +325,12 @@ def window_stats(
             out["cid_ce_norm"] = np.where(std == 0, 0.0, val)
 
         # ---- autocorrelation family ----
-        for lag in _AUTOCORR_LAGS:
+        ac_lags = sorted(
+            int(m[1]) for f in fset
+            if (m := re.fullmatch(r"autocorr_lag(\d+)", f))
+        )
+        for lag in ac_lags:
             name = f"autocorr_lag{lag}"
-            if name not in fset:
-                continue
             if w > lag:
                 prod = centered[:, :-lag] * centered[:, lag:]
                 num = _nansum(prod)
@@ -322,16 +340,22 @@ def window_stats(
             val = num / denom
             val = np.where((counts > lag) & (m2 > 0), val, np.nan)
             out[name] = val
-        if "c3_lag1" in fset:
-            lag = 1
+        for f in fset:
+            m = re.fullmatch(r"c3_lag(\d+)", f)
+            if not m:
+                continue
+            lag = int(m[1])
             if w > 2 * lag:
                 prod = mat[:, 2 * lag :] * mat[:, lag:-lag] * mat[:, : -2 * lag]
                 val = _nansum(prod) / (n - 2 * lag)
             else:
                 val = np.full(k, np.nan)
-            out["c3_lag1"] = np.where(counts > 2 * lag, val, np.nan)
-        if "time_reversal_asymmetry_lag1" in fset:
-            lag = 1
+            out[f] = np.where(counts > 2 * lag, val, np.nan)
+        for f in fset:
+            m = re.fullmatch(r"time_reversal_asymmetry_lag(\d+)", f)
+            if not m:
+                continue
+            lag = int(m[1])
             if w > 2 * lag:
                 a = mat[:, 2 * lag :]
                 b = mat[:, lag:-lag]
@@ -339,9 +363,7 @@ def window_stats(
                 val = _nansum(a * a * b - b * c * c) / (n - 2 * lag)
             else:
                 val = np.full(k, np.nan)
-            out["time_reversal_asymmetry_lag1"] = np.where(
-                counts > 2 * lag, val, 0.0
-            )
+            out[f] = np.where(counts > 2 * lag, val, 0.0)
 
         # ---- counts / streaks / crossings ----
         above = mat > mean[:, None]
@@ -364,11 +386,17 @@ def window_stats(
                 )
             else:
                 out["number_crossing_0"] = np.zeros(k)
-        if "number_peaks_3" in fset:
-            out["number_peaks_3"] = _number_peaks(mat, 3)
-        if "ratio_beyond_1_sigma" in fset:
-            dev = np.abs(mat - mean[:, None]) > std[:, None]
-            out["ratio_beyond_1_sigma"] = dev.sum(axis=1) / n
+        for f in fset:
+            m = re.fullmatch(r"number_peaks_(\d+)", f)
+            if m:
+                out[f] = _number_peaks(mat, int(m[1]))
+        for f in fset:
+            # ratio_beyond_1_sigma / ratio_beyond_r0_5_sigma (r = 0.5)
+            m = re.fullmatch(r"ratio_beyond_(?:r)?(\d+)(?:_(\d+))?_sigma", f)
+            if m:
+                r_ = float(f"{m[1]}.{m[2]}") if m[2] else float(m[1])
+                dev = np.abs(mat - mean[:, None]) > r_ * std[:, None]
+                out[f] = dev.sum(axis=1) / n
 
         # ---- locations (relative, tsfresh semantics: argmax/len) ----
         if fset & {
@@ -444,46 +472,62 @@ def window_stats(
                 out[name] = (e_end - e_start) / total
 
         # ---- binned entropy (np.histogram-exact edges) ----
-        if "binned_entropy_10" in fset:
-            out["binned_entropy_10"] = _binned_entropy(mat, counts, 10)
+        for f in fset:
+            m = re.fullmatch(r"binned_entropy_(\d+)", f)
+            if m:
+                out[f] = _binned_entropy(mat, counts, int(m[1]))
 
         # ---- duplicates / recurrence (from the sorted matrix) ----
         if fset & _DUP_FEATS:
             _duplicates(out, fset, sorted_mat, counts, n)
 
-        if "value_count_0" in fset:
-            out["value_count_0"] = np.nansum(mat == 0, axis=1).astype(np.float64)
+        for f in fset:
+            m = re.fullmatch(r"value_count_(-?\d+)", f)
+            if m:
+                out[f] = np.nansum(mat == float(m[1]), axis=1).astype(
+                    np.float64
+                )
 
-        if "index_mass_quantile_50" in fset:
+        imq = [
+            (f, int(m[1]) / 100)
+            for f in fset
+            if (m := re.fullmatch(r"index_mass_quantile_(\d{2})", f))
+        ]
+        if imq:
             # tsfresh index_mass_quantile: smallest i with
             # cumsum(|x|)/sum(|x|) >= q, returned as (i+1)/n
             absx = np.abs(mat)
             tot = _nansum(absx)
             mc = np.nancumsum(absx, axis=1) / tot[:, None]
-            idx = np.argmax(mc >= 0.5, axis=1)
-            out["index_mass_quantile_50"] = (idx + 1) / n
+            for f, qq in imq:
+                idx = np.argmax(mc >= qq, axis=1)
+                out[f] = (idx + 1) / n
 
-        if "large_standard_deviation_r25" in fset:
-            rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
-            out["large_standard_deviation_r25"] = (std > 0.25 * rng_).astype(
-                np.float64
-            )
-        if "symmetry_looking_r25" in fset:
-            rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
-            med = (
-                out["median"]
-                if "median" in out
-                else _q_from_sorted(np.sort(mat, axis=1), counts, 0.5)
-            )
-            out["symmetry_looking_r25"] = (
-                np.abs(mean - med) < 0.25 * rng_
-            ).astype(np.float64)
+        for f in fset:
+            m = re.fullmatch(r"large_standard_deviation_r(\d{2})", f)
+            if m:
+                rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
+                out[f] = (std > int(m[1]) / 100 * rng_).astype(np.float64)
+        for f in fset:
+            m = re.fullmatch(r"symmetry_looking_r(\d{2})", f)
+            if m:
+                rng_ = np.nanmax(mat, axis=1) - np.nanmin(mat, axis=1)
+                med = (
+                    out["median"]
+                    if "median" in out
+                    else _q_from_sorted(np.sort(mat, axis=1), counts, 0.5)
+                )
+                out[f] = (np.abs(mean - med) < int(m[1]) / 100 * rng_).astype(
+                    np.float64
+                )
 
         # ---- FFT family (per distinct window length: DFT size must equal
         # the unpadded series length for tsfresh parity) ----
-        fft_feats = [f for f in ("fft_coeff_abs_1", "fft_coeff_abs_2",
-                                 "fft_coeff_abs_3", "fft_centroid",
-                                 "fft_variance") if f in fset]
+        fft_feats = [
+            f for f in fset
+            if re.fullmatch(r"fft_coeff_abs_\d+", f)
+            or f in ("fft_centroid", "fft_variance")
+        ]
         if fft_feats:
             _fft_features(out, fft_feats, mat, counts)
 
