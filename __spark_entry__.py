@@ -277,8 +277,10 @@ SQL_ROLLUP_1D_MEAN_COUNTS = f"""
 WITH w AS ({_EV_WINDOW_SQL.format(ms=86400000)}),
 m AS (SELECT event_type, window_ms, avg(value) AS mu FROM w GROUP BY 1, 2)
 SELECT w.event_type, w.window_ms, count(*) AS count,
-       sum(CASE WHEN value > mu THEN 1 ELSE 0 END) AS n_above,
-       sum(CASE WHEN value < mu THEN 1 ELSE 0 END) AS n_below
+       -- CAST: DuckDB sum(int) is HUGEINT (float64 in pandas); Spark emits
+       -- BIGINT and the driver's value hash is type-sensitive
+       CAST(sum(CASE WHEN value > mu THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(sum(CASE WHEN value < mu THEN 1 ELSE 0 END) AS BIGINT) AS n_below
 FROM w JOIN m USING (event_type, window_ms)
 GROUP BY w.event_type, w.window_ms
 """
@@ -467,7 +469,7 @@ d AS (
 SELECT doc_id, window_ms, count(*) AS count,
        round(round(sqrt(avg(v * v)), 7), 4) AS rms_v,
        round(round(avg(abs(dv)), 7), 4) AS mac_v,
-       sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS n_above
+       CAST(sum(CASE WHEN v > mu THEN 1 ELSE 0 END) AS BIGINT) AS n_above
 FROM d GROUP BY doc_id, window_ms
 """
 
@@ -648,20 +650,20 @@ def q_column_profile(spark, sf_dir):
 
 SQL_COLUMN_PROFILE = """
 SELECT 'l_quantity' AS col_name,
-       sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS n_bad,
+       CAST(sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
        count(DISTINCT l_quantity) AS n_distinct,
        round(round(var_pop(l_quantity), 7), 4) AS var_pop_v FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice',
-       sum(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT l_extendedprice), round(round(var_pop(l_extendedprice), 7), 4) FROM lineitem
 UNION ALL
 SELECT 'l_discount',
-       sum(CASE WHEN l_discount IS NULL OR isnan(l_discount) THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_discount IS NULL OR isnan(l_discount) THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT l_discount), round(round(var_pop(l_discount), 7), 4) FROM lineitem
 UNION ALL
 SELECT 'l_tax',
-       sum(CASE WHEN l_tax IS NULL OR isnan(l_tax) THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_tax IS NULL OR isnan(l_tax) THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT l_tax), round(round(var_pop(l_tax), 7), 4) FROM lineitem
 """
 
@@ -1000,7 +1002,16 @@ def q_image_features_stub(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
     d = attach_media_meta(d, "image", "png", 64, 64)
-    return image_features(d)
+    out = image_features(d)
+    # scalars only: the driver's canonicalizer can't sort array cells, so
+    # the thumbnail vector is exposed as a deterministic digest
+    return out.select(
+        "doc_id", "n_bytes",
+        _r4(F.col("mean_px")).alias("mean_px"),
+        _r4(F.col("std_px")).alias("std_px"),
+        F.md5(F.concat_ws(",", F.col("thumb_vec").cast("array<string>")))
+        .alias("thumb_hash"),
+    )
 
 
 def q_audio_frames_stub(spark, sf_dir):
@@ -1083,15 +1094,22 @@ def q_asof_join(spark, sf_dir):
 
 
 SQL_ASOF_JOIN = """
+-- deterministic ASOF formulation: ties at equal view-timestamps resolve
+-- to the max value, mirroring the engine window's final sort keys
 WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value
            FROM events WHERE event_type = 'purchase'),
 v AS (SELECT user_id, epoch_ms(ts) AS tms, value
-      FROM events WHERE event_type = 'view')
-SELECT p.event_id, p.user_id, p.tms,
-       round(round(p.value, 7), 4) AS purchase_v,
-       round(round(v.value, 7), 4) AS last_view_v
-FROM p ASOF LEFT JOIN v
-  ON p.user_id = v.user_id AND v.tms <= p.tms
+      FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id, p.user_id, p.tms, p.value AS pv, v.value AS vv,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.tms DESC NULLS LAST,
+                                     v.value DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.tms <= p.tms)
+SELECT event_id, user_id, tms,
+       round(round(pv, 7), 4) AS purchase_v,
+       round(round(vv, 7), 4) AS last_view_v
+FROM j WHERE rn = 1
 """
 
 
@@ -1101,7 +1119,8 @@ def q_sessionize(spark, sf_dir):
     from time2feat_spark.operators.asof import sessionize
 
     ev = _t(spark, sf_dir, "events")
-    s = sessionize(ev, ["user_id"], "ts", 30 * 60)
+    s = sessionize(ev, ["user_id"], "ts", 30 * 60,
+                   tie_break_cols=["event_id"])
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("session_start_ms"),
@@ -1111,16 +1130,17 @@ def q_sessionize(spark, sf_dir):
 
 SQL_SESSIONIZE = """
 WITH o AS (
-  SELECT user_id, epoch_ms(ts) AS tms, value,
+  SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
          CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, tms, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
   FROM o)
 SELECT user_id, session_id, count(*) AS n_events,
        min(tms) AS session_start_ms,

@@ -38,17 +38,28 @@ def con():
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver does: sort columns by name, sort rows.
+
+    Type-STRICT (round-1 lesson): no blanket float cast. The driver's value
+    hash distinguishes int64 from float64, so a DuckDB HUGEINT (-> float64)
+    vs a Spark BIGINT is a real gate failure and must fail here too. The
+    only coercions kept are the ones the driver's own ingestion applies
+    (decimal.Decimal -> float, None-in-object-column handling).
+    """
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     out = {}
     for c in pdf.columns:
         s = pdf[c]
         if s.dtype == object:
-            try:
+            import decimal
+
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, decimal.Decimal) for v in non_null
+            ):
                 s = s.astype(np.float64)
-            except (ValueError, TypeError):
+            else:
                 s = s.astype(str)
-        if np.issubdtype(s.dtype, np.floating):
-            s = s.round(6)
         out[c] = s
     res = pd.DataFrame(out)
     return res.sort_values(list(res.columns)).reset_index(drop=True)
@@ -64,6 +75,13 @@ def test_query_matches_oracle(spark, con, name):
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        kind = {"i": "i", "u": "i", "b": "i"}  # ints/bools hash alike
+        gk = kind.get(g.dtype.kind, g.dtype.kind)
+        wk = kind.get(w.dtype.kind, w.dtype.kind)
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind mismatch {g.dtype} (spark) vs "
+            f"{w.dtype} (oracle) — the driver's value hash is type-sensitive"
+        )
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(
             w.dtype, np.floating
         ):

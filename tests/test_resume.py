@@ -63,12 +63,15 @@ def test_manifest_lineage_and_metrics(spark, tmp_path):
     recs = Manifest(str(tmp_path / "out")).records()
     assert recs
     snap = snapshot_id(inp)
-    for rec in recs:
+    done = [r for r in recs if r.status == "done"]
+    started = [r for r in recs if r.status == "started"]
+    # write-ahead protocol: every unit logs intent before mutating output
+    assert {r.unit for r in started} == {r.unit for r in done}
+    for rec in done:
         assert rec.input_snapshot_id == snap
         assert rec.rollup_watermark.startswith("doc_")
         assert rec.rows_in > 0 and rec.windows_out > 0 and rec.points > 0
         assert rec.bytes_compressed > 0 and rec.wall_ms >= 0
-        assert rec.status == "done"
 
 
 def test_rerun_is_noop_until_snapshot_changes(spark, tmp_path):
@@ -91,6 +94,47 @@ def test_incremental_watermark_appends_only_new_docs(spark, tmp_path):
     spark.createDataFrame(gen_pandas(150, 200)).write.mode("append").parquet(inp)
     r = LadderJob(spark, inp, out, CFG).run(incremental=True)
     assert r["processed"]  # changed units re-ran (snapshot moved)
+
+    got = _table(spark, out)
+    ref_job = LadderJob(spark, inp, str(tmp_path / "ref"), CFG)
+    ref_job.run()
+    want = _table(spark, str(tmp_path / "ref"))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_crash_between_write_and_manifest(spark, tmp_path):
+    """Kill-and-resume identity for the WORST crash window: after an
+    incremental increment is appended to the output but before its 'done'
+    manifest record lands. Without the started-tombstone protocol the
+    resume re-appends the same doc_id > watermark slice (duplicate
+    windows); with it, the dangling unit is rebuilt by full overwrite."""
+    inp = str(tmp_path / "seq")
+    _write_input(spark, inp, 150)
+    out = str(tmp_path / "out")
+    LadderJob(spark, inp, out, CFG).run(incremental=True)
+
+    spark.createDataFrame(gen_pandas(150, 200)).write.mode("append").parquet(inp)
+
+    class CrashAfterFirstWrite(Exception):
+        pass
+
+    job = LadderJob(spark, inp, out, CFG)
+    orig_append = job.manifest.append
+    state = {"writes": 0}
+
+    def crashing_append(rec):
+        if rec.status == "done":
+            state["writes"] += 1
+            if state["writes"] == 1:
+                raise CrashAfterFirstWrite()  # data written, record lost
+        orig_append(rec)
+
+    job.manifest.append = crashing_append
+    with pytest.raises(CrashAfterFirstWrite):
+        job.run(incremental=True)
+
+    r = LadderJob(spark, inp, out, CFG).run(incremental=True)  # resume
+    assert r["pending"] == 0
 
     got = _table(spark, out)
     ref_job = LadderJob(spark, inp, str(tmp_path / "ref"), CFG)

@@ -125,6 +125,49 @@ def test_algebraic_cross_tier_consistency(seq_pdf):
     pd.testing.assert_frame_equal(agg, hh)
 
 
+def test_rollup_points_streaming_flush_invariance(spark):
+    """The streaming group-flush kernel stage (scale path: bounded task
+    memory) must be value-identical to any other partitioning/flush size,
+    on a SKEWED key distribution (one hot key with ~80% of rows)."""
+    rng = np.random.default_rng(7)
+    n = 30_000
+    keys = np.where(rng.uniform(size=n) < 0.8, "hot", "cold")
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 3 * 86_400_000, n)), unit="ms"
+    )
+    pdf = pd.DataFrame(
+        {"key": keys, "ts": ts, "value": np.round(rng.uniform(0, 50, n), 2)}
+    )
+    cfg = RollupConfig(tiers=[("1h", 3600), ("1d", 86400)], include_raw=False,
+                       compress=False, features=["variance", "median",
+                                                 "autocorr_lag1", "skewness"])
+    sdf = spark.createDataFrame(pdf)
+
+    def run(num_partitions, flush_rows):
+        out = rollup_points(
+            sdf, ["key"], "ts", "value", cfg,
+            num_partitions=num_partitions, flush_rows=flush_rows,
+        ).toPandas()
+        return out.sort_values(
+            ["key", "tier", "window_start_ms"]
+        ).reset_index(drop=True)
+
+    # tiny flush (forces many incremental flushes + carries) vs one big
+    # partition (single flush) vs many partitions
+    a = run(2, 512)
+    b = run(1, 10**9)
+    c = run(13, 4096)
+    for other in (b, c):
+        assert len(a) == len(other)
+        for col in a.columns:
+            g, w = a[col].to_numpy(), other[col].to_numpy()
+            if np.issubdtype(np.asarray(w).dtype, np.floating):
+                ok = (np.isnan(g) & np.isnan(w)) | (g == w)
+                assert ok.all(), col
+            else:
+                assert (g == w).all(), col
+
+
 def test_rollup_points_matches_sequences_semantics(spark):
     """Events-shaped input through rollup_points == same data through the
     sequences path (same kernels, same windows)."""

@@ -42,9 +42,16 @@ def asof_join(
         if c not in lt.columns:
             lt = lt.withColumn(c, F.lit(None))
     unioned = lt.unionByName(rt.select(*lt.columns))
+    # final sort keys make equal-(key, ts) right rows deterministic: the
+    # as-of value is then the max value tuple among the tied rows, under
+    # any partitioning/run (mirrored in oracle SQL via row_number DESC)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{c}{suffix}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -63,11 +70,16 @@ def sessionize(
     key_cols: list[str],
     ts_col: str,
     gap_seconds: int,
+    tie_break_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign gap-based session ids: a row starts a new session when it is
     more than `gap_seconds` after the previous row of its key. Adds
-    `session_id` (0-based per key, in time order)."""
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    `session_id` (0-based per key, in time order).
+
+    `tie_break_cols` (e.g. a unique row id) pins the order of equal-ts
+    rows so the cumulative session counter is deterministic under any
+    partitioning — pass them whenever timestamps can collide."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tie_break_cols or []))
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev.isNull()

@@ -9,14 +9,19 @@ plumbing — schema, partitioning, UDF signature, batch shape — is real
 and tested end-to-end; with it False, the stage raises
 NotImplementedError where a codec (PIL/ffmpeg) would plug in.
 
-Scale notes: media bytes dominate row size, so stages select only the
-columns they need (binary column pruned away after feature extraction),
-and mapInPandas streams Arrow batches without materializing a partition.
+Scale posture (north_rule: no per-row Python):
+- the content digest is computed JVM-side (`xxhash64(substring(media,
+  1, 64))`), so the heavy binary column is PRUNED before rows ever cross
+  the Arrow boundary — the Python stage sees (id, seed, n_bytes) only;
+- the pseudo-decode itself is a whole-batch numpy splitmix64 counter
+  stream over a (rows x pixels) uint64 matrix — no Python loop, no
+  per-row hashlib;
+- a real codec integration would widen the projection to include the
+  blob, keep the same batch iterator, and vectorize per batch (decode is
+  then the per-row boundary a codec forces — nothing else is).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -66,19 +71,34 @@ def attach_media_meta(
     )
 
 
-def _fake_decode(blob: bytes, n: int) -> np.ndarray:
-    """Deterministic content-derived pseudo-pixels: sha256 counter stream.
-    Stands in for a real codec so downstream math is testable."""
-    out = np.empty(n, dtype=np.uint8)
-    pos = 0
-    counter = 0
-    while pos < n:
-        h = hashlib.sha256(blob[:64] + counter.to_bytes(4, "big")).digest()
-        take = min(len(h), n - pos)
-        out[pos: pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
-        pos += take
-        counter += 1
-    return out
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over a uint64 array."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _fake_decode_matrix(seeds: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic content-derived pseudo-bytes for a whole batch:
+    rows = one media blob (identified by its JVM xxhash64 seed), columns =
+    n pseudo-byte positions. One vectorized splitmix64 pass — stands in
+    for a codec so downstream math is testable at real batch shapes."""
+    s = seeds.astype(np.uint64, copy=False)[:, None]
+    j = (np.arange(n, dtype=np.uint64) + np.uint64(1))[None, :]
+    return (_mix64(s + _GOLD * j) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def _with_media_digest(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """JVM-side digest + size; prunes the binary column away before the
+    Arrow boundary (media bytes dominate row size)."""
+    return df.where(F.col(blob_col).isNotNull()).select(
+        id_col,
+        F.xxhash64(F.substring(F.col(blob_col), 1, 64)).alias("_seed"),
+        F.length(F.col(blob_col)).cast("long").alias("_nb"),
+    )
 
 
 def image_features(
@@ -89,7 +109,8 @@ def image_features(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Decode -> resize(thumb x thumb, grayscale) -> basic stats + a
-    thumbnail vector usable for embedding-style dedup. Arrow-batched."""
+    thumbnail vector usable for embedding-style dedup. Arrow-batched;
+    whole-batch numpy (no per-row Python)."""
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -105,33 +126,25 @@ def image_features(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, nb, mean_px, std_px, thumbs = [], [], [], [], []
-            for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None:
-                    continue
-                b = bytes(blob)
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "image decode requires a codec (PIL); enable "
-                        "deterministic_fake for the stub pipeline"
-                    )
-                px = _fake_decode(b, n_px).astype(np.float64)
-                ids.append(i)
-                nb.append(len(b))
-                mean_px.append(float(px.mean()))
-                std_px.append(float(px.std()))
-                thumbs.append(px / 255.0)
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image decode requires a codec (PIL); enable "
+                    "deterministic_fake for the stub pipeline"
+                )
+            px = _fake_decode_matrix(
+                pdf["_seed"].to_numpy(), n_px
+            ).astype(np.float64)
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    "n_bytes": nb,
-                    "mean_px": mean_px,
-                    "std_px": std_px,
-                    "thumb_vec": thumbs,
+                    id_col: pdf[id_col],
+                    "n_bytes": pdf["_nb"],
+                    "mean_px": px.mean(axis=1),
+                    "std_px": px.std(axis=1),
+                    "thumb_vec": list(px / 255.0),
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(run, schema)
+    return _with_media_digest(df, blob_col, id_col).mapInPandas(run, schema)
 
 
 def audio_frame_stats(
@@ -143,7 +156,9 @@ def audio_frame_stats(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Decode -> frame-sample -> per-frame RMS energy (the t2f abs_energy
-    kernel applied to pseudo-samples). Output: one row per (doc, frame)."""
+    kernel applied to pseudo-samples). Output: one row per (doc, frame);
+    the ragged doc->frames expansion is repeat/arange, the sample
+    synthesis one splitmix64 matrix pass."""
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -156,23 +171,34 @@ def audio_frame_stats(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, frames, rms = [], [], []
-            for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None:
-                    continue
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "audio decode requires a codec (ffmpeg/soundfile)"
-                    )
-                b = bytes(blob)
-                n = min(max_frames, max(1, len(b) // frame_len))
-                samples = _fake_decode(b, n * frame_len).astype(np.float64)
-                samples = (samples - 127.5) / 127.5
-                mat = samples.reshape(n, frame_len)
-                fr = np.sqrt((mat * mat).mean(axis=1))
-                ids.extend([i] * n)
-                frames.extend(range(n))
-                rms.extend(fr.tolist())
-            yield pd.DataFrame({id_col: ids, "frame": frames, "rms": rms})
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decode requires a codec (ffmpeg/soundfile)"
+                )
+            nb = pdf["_nb"].to_numpy()
+            seeds = pdf["_seed"].to_numpy().astype(np.uint64)
+            n_frames = np.clip(nb // frame_len, 1, max_frames).astype(np.int64)
+            doc_of_frame = np.repeat(np.arange(len(pdf)), n_frames)
+            frame_idx = (
+                np.arange(len(doc_of_frame))
+                - np.repeat(
+                    np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+                )
+            )
+            # per-frame seed: blob seed advanced by the frame's offset
+            frame_seeds = seeds[doc_of_frame] + (
+                frame_idx.astype(np.uint64) * np.uint64(frame_len)
+            )
+            samples = _fake_decode_matrix(frame_seeds, frame_len).astype(
+                np.float64
+            )
+            samples = (samples - 127.5) / 127.5
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[doc_of_frame],
+                    "frame": frame_idx.astype(np.int32),
+                    "rms": np.sqrt((samples * samples).mean(axis=1)),
+                }
+            )
 
-    return df.select(id_col, blob_col).mapInPandas(run, schema)
+    return _with_media_digest(df, blob_col, id_col).mapInPandas(run, schema)

@@ -389,15 +389,24 @@ def rollup_points(
     val_col: str,
     cfg: RollupConfig | None = None,
     num_partitions: int | None = None,
+    rows_per_task: int = 2_000_000,
+    flush_rows: int = 65_536,
 ) -> DataFrame:
     """Tier-ladder rollup over long-format points.
 
     One shuffle on (key, coarsest-tier chunk): chunking bounds the data
     any task must hold for a hot key (skew relief) while windows of every
-    tier nest inside the chunk, so holistic stats stay exact. After the
-    repartition a single mapInPandas processes ALL groups of a partition
-    in one vectorized pass (no per-group Python dispatch — thousands of
-    small groups cost the same as one big one).
+    tier nest inside the chunk, so holistic stats stay exact.
+
+    Scale posture (100 TB): the shuffle partition count is sized from a
+    cheap count pre-pass (`rows_per_task`) rather than the static
+    `spark.sql.shuffle.partitions`, and the kernel stage streams — rows
+    are sorted within partitions by group key, so completed (key, chunk)
+    groups flush as soon as a later group appears in the Arrow stream.
+    Peak task memory is O(one chunk group + flush buffer), NOT O(whole
+    partition), so a 100x data growth widens the shuffle instead of
+    OOMing the executor. Tier values stay bit-identical regardless of
+    which flush a group lands in (pow2-bucket kernels, SURVEY.md §7.5).
     """
     cfg = cfg or RollupConfig(include_raw=False)
     coarsest_ms = max(sec for _, sec in cfg.tiers) * 1000
@@ -412,26 +421,63 @@ def rollup_points(
         & ~F.isnan(F.col(val_col).cast("double"))
     )
     # cast handles TIMESTAMP_NTZ inputs; session TZ is UTC so the instant
-    # is the naive wall time, matching DuckDB's naive timestamps
+    # is the naive wall time, matching DuckDB's naive timestamps.
+    # F.floor (not a truncating cast): floors toward -inf like the
+    # kernel-side `ts_ms // ms` window ids, so pre-1970 timestamps can't
+    # straddle two chunk groups and split a window.
     chunked = df.withColumn(
         "_chunk",
-        (F.unix_millis(F.col(ts_col).cast("timestamp")) / F.lit(coarsest_ms))
-        .cast("long"),
+        F.floor(
+            F.unix_millis(F.col(ts_col).cast("timestamp")) / F.lit(coarsest_ms)
+        ).cast("long"),
     )
-    n_parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    parted = chunked.repartition(n_parts, *key_cols, "_chunk")
+    if num_partitions is None:
+        default_p = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n_rows = df.select(*key_cols, ts_col).count()
+        num_partitions = max(default_p, -(-n_rows // rows_per_task))
+    group_cols = key_cols + ["_chunk"]
+    parted = chunked.repartition(num_partitions, *group_cols)
+    parted = parted.sortWithinPartitions(*group_cols)
 
     def run(batches):
-        # a partition holds whole (key, chunk) groups; concatenate its Arrow
-        # batches so each group's points are processed together
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        yield rollup_points_pdf(
-            pdf, cfg, key_cols + ["_chunk"], ts_col, val_col
-        ).drop(columns=["_chunk"])
+        done: list[pd.DataFrame] = []  # whole groups awaiting a flush
+        done_rows = 0
+        carry: pd.DataFrame | None = None  # trailing (open) group
+
+        def roll(frames):
+            pdf = frames[0] if len(frames) == 1 else pd.concat(
+                frames, ignore_index=True
+            )
+            return rollup_points_pdf(
+                pdf, cfg, group_cols, ts_col, val_col
+            ).drop(columns=["_chunk"])
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # rows are sorted by group key, so the open group is the
+            # trailing run equal to the last row's key tuple
+            eq = np.ones(len(pdf), dtype=bool)
+            for c in group_cols:
+                col = pdf[c].to_numpy()
+                eq &= col == col[-1]
+            not_eq = np.nonzero(~eq)[0]
+            cut = int(not_eq[-1]) + 1 if len(not_eq) else 0
+            if cut > 0:
+                done.append(pdf.iloc[:cut])
+                done_rows += cut
+            carry = pdf.iloc[cut:]
+            if done_rows >= flush_rows:
+                yield roll(done)
+                done, done_rows = [], 0
+        if carry is not None and len(carry):
+            done.append(carry)
+        if done:
+            yield roll(done)
 
     return parted.mapInPandas(run, schema)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.rounding import round2
+
 # tiny marker-word sets for the n-gram/stopword language heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is"],
@@ -43,19 +45,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
+
+    def ratio(c):
+        # round_bin double-rounding, NOT F.round (CLAUDE.md invariant:
+        # F.round rounds the shortest decimal repr and disagrees with
+        # DuckDB on true ...5 boundaries); NaN -> NULL for SQL semantics
+        r = round2(c, 7, 4)
+        return F.when(F.isnan(r), F.lit(None)).otherwise(r)
+
     return df.withColumns(
         {
             "q_n_chars": n_chars,
             "q_n_tokens": n_tok,
-            "q_punct_ratio": F.round(
-                F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_chars, 4
-            ),
-            "q_digit_ratio": F.round(F.regexp_count(t, F.lit(r"[0-9]")) / n_chars, 4),
-            "q_upper_ratio": F.round(F.regexp_count(t, F.lit(r"[A-Z]")) / n_chars, 4),
-            "q_stopword_ratio": F.round(_word_count(t, STOPWORDS) / n_tok, 4),
-            "q_mean_word_len": F.round(
-                F.regexp_count(t, F.lit(r"\S")) / n_tok, 4
-            ),
+            "q_punct_ratio": ratio(F.regexp_count(t, F.lit(r"[.,;:!?]")) / n_chars),
+            "q_digit_ratio": ratio(F.regexp_count(t, F.lit(r"[0-9]")) / n_chars),
+            "q_upper_ratio": ratio(F.regexp_count(t, F.lit(r"[A-Z]")) / n_chars),
+            "q_stopword_ratio": ratio(_word_count(t, STOPWORDS) / n_tok),
+            "q_mean_word_len": ratio(F.regexp_count(t, F.lit(r"\S")) / n_tok),
         }
     )
 

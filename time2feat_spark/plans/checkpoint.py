@@ -88,6 +88,16 @@ class Manifest:
                 out[r.unit] = r.rollup_watermark
         return out
 
+    def dangling_units(self) -> set[str]:
+        """Units whose LATEST record is 'started': a run crashed between
+        the unit's data write and its 'done' record, so the unit's output
+        directory may hold a partial (or duplicate-appended) increment.
+        Resume must rebuild these units with a full overwrite."""
+        latest: dict[str, UnitRecord] = {}
+        for r in self.records():
+            latest[r.unit] = r
+        return {u for u, r in latest.items() if r.status == "started"}
+
     def append(self, rec: UnitRecord) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(asdict(rec)) + "\n")

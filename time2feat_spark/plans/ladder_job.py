@@ -67,6 +67,7 @@ class LadderJob:
         units = self._unit_stats(seq)
         done = self.manifest.done_units(snap)
         watermarks = self.manifest.watermarks() if incremental else {}
+        dangling = self.manifest.dangling_units()
 
         processed, skipped = [], []
         for source, n_rows in units:
@@ -80,9 +81,30 @@ class LadderJob:
             part = seq.where(F.col("source") == source)
             wm = watermarks.get(unit)
             mode = "overwrite"
-            if incremental and wm is not None:
+            # a dangling 'started' tombstone means a prior run died after
+            # (possibly partially) appending this unit's increment — the
+            # only safe resume is a full rebuild of the unit (idempotent
+            # overwrite), never another append on top of unknown state
+            if incremental and wm is not None and unit not in dangling:
                 part = part.where(F.col("doc_id") > wm)
                 mode = "append"
+            # record intent BEFORE mutating output: crash between the data
+            # write and the 'done' record leaves this tombstone behind
+            self.manifest.append(
+                UnitRecord(
+                    run_id=run_id,
+                    unit=unit,
+                    input_snapshot_id=snap,
+                    partition_range=f"{source}",
+                    rollup_watermark=str(wm or ""),
+                    rows_in=n_rows,
+                    windows_out=0,
+                    points=0,
+                    bytes_compressed=0,
+                    wall_ms=0,
+                    status="started",
+                )
+            )
             salt_k = max(1, -(-n_rows // self.rows_per_task))
             flat = rollup_sequences(
                 part.repartition(salt_k, F.pmod(F.xxhash64("doc_id"), F.lit(salt_k))),
