@@ -1029,6 +1029,31 @@ SQL_ANOVA_F = " UNION ALL ".join(
 )
 
 
+def q_anova_pvalue_rank(spark, sf_dir):
+    """T2 (sk_pvalue strategy): rank features by ANOVA p-value ascending.
+    The p-value itself needs the F survival function (no DuckDB
+    equivalent — its NUMERIC accuracy is pinned by pytest golden tests);
+    the RANK is oracle-checkable because p is monotone decreasing in F,
+    so rank-by-p-asc == rank-by-F-desc."""
+    from time2feat_spark.operators.selection import anova_p_values
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    fp = anova_p_values(li, cols, "l_returnflag")
+    ranked = sorted(cols, key=lambda c: (fp[c][1], -fp[c][0], c))
+    rows = [(c, i + 1) for i, c in enumerate(ranked)]
+    return spark.createDataFrame(rows, "col_name string, p_rank int")
+
+
+SQL_ANOVA_PVALUE_RANK = f"""
+WITH f AS ({SQL_ANOVA_F})
+SELECT col_name,
+       CAST(row_number() OVER (ORDER BY f_score DESC, col_name) AS INT)
+         AS p_rank
+FROM f
+"""
+
+
 def q_pair_distances(spark, sf_dir):
     """The reference's 8 inter-signal distances (extractor_pair.py:6-18)
     over the first 4 embedding vectors treated as signals of one case."""
@@ -1332,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ladder_full": q_ladder_full,
         "ladder_tier_counts": q_ladder_tier_counts,
         "anova_f": q_anova_f,
+        "anova_pvalue_rank": q_anova_pvalue_rank,
         "pair_distances": q_pair_distances,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1374,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "anova_f": SQL_ANOVA_F,
+        "anova_pvalue_rank": SQL_ANOVA_PVALUE_RANK,
         "pair_distances": SQL_PAIR_DISTANCES,
         "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -49,6 +49,53 @@ def test_intra_feature_extraction_width(spark, bm):
     assert not feats[core].isna().any().any()
 
 
+def test_full_parity_width_matches_report_table3(spark, bm):
+    """The FULL grid: 787 features per signal (report Table 3: BM S=6 ->
+    6 x 787 = 4722 intra per case; +120 pair features elsewhere)."""
+    from time2feat_spark.functions.parity import PARITY_FEATURES
+    from time2feat_spark.operators.features import extract_parity_features
+
+    assert len(PARITY_FEATURES) == 787
+    assert len(set(PARITY_FEATURES)) == 787
+
+    feats = extract_parity_features(bm, value_col="values").toPandas()
+    assert len(feats) == 240  # 40 cases x 6 signals
+    feat_cols = [c for c in feats.columns if c.startswith("feat_")]
+    assert len(feat_cols) == 787  # => S x 787 = 4722 per case
+    # the families beyond the rollup subset produce real values on BM
+    core = [
+        "feat_sample_entropy", "feat_approx_entropy_r03",
+        "feat_permutation_entropy_d3", "feat_lempel_ziv_b10",
+        "feat_benford_correlation", "feat_ar_coeff_1_k10",
+        "feat_adf_teststat", "feat_adf_pvalue",
+        "feat_friedrich_coeff_3_m3_r30", "feat_linear_trend_pvalue",
+        "feat_agg_linear_trend_slope_10_mean", "feat_fft_coeff_real_7",
+        "feat_fft_coeff_imag_7", "feat_fft_coeff_angle_7",
+        "feat_fft_agg_skew", "feat_spkt_welch_coeff_2",
+        "feat_fourier_entropy_b10", "feat_cwt_coeff_w5_3",
+        "feat_number_cwt_peaks_5", "feat_mean_n_absolute_max_7",
+        "feat_range_count_m1_p1", "feat_count_above_t0",
+        "feat_number_crossing_p1", "feat_autocorr_lag0",
+        "feat_variance_larger_than_standard_deviation",
+        "feat_max_langevin_fixed_point_m3_r30",
+    ]
+    missing = [c for c in core if c not in feats.columns]
+    assert not missing, missing
+    frac_nan = feats[core].isna().mean()
+    assert (frac_nan < 0.5).all(), frac_nan[frac_nan >= 0.5]
+    # p-values are probabilities
+    for c in ["feat_adf_pvalue", "feat_linear_trend_pvalue"]:
+        v = feats[c].dropna()
+        assert ((v >= 0) & (v <= 1)).all(), c
+    # the 7 documented always-NaN columns (need the external
+    # matrixprofile package / a query): present for width parity
+    stubbed = [c for c in feat_cols if "matrix_profile" in c] + [
+        "feat_query_similarity_count"
+    ]
+    assert len(stubbed) == 7
+    assert feats[stubbed].isna().all().all()
+
+
 def test_pair_feature_width_matches_report_table3(spark, bm):
     pairs = extract_pair_features(bm).toPandas()
     # 8 metrics x C(6,2)=15 pairs = 120 per case (report Table 3, row BM)

@@ -70,3 +70,53 @@ def test_domain_mode_spreads_families(spark, bm_features):
     fams = {c.split("_")[1] for c in top}
     assert len(top) == 12
     assert len(fams) >= 3  # spread across feature families
+
+
+def test_pvalue_mode_matches_f_ordering(spark, bm_features):
+    """T2 sk_pvalue: p-asc ordering == F-desc ordering (monotone sf),
+    and the p-values are genuine probabilities from the F distribution."""
+    from time2feat_spark.operators.selection import anova_p_values
+
+    wide, labels = bm_features
+    sdf = spark.createDataFrame(
+        wide.reset_index().rename(columns={"case_id": "doc_id"})
+    )
+    lab_df = sdf.join(
+        spark.createDataFrame(
+            [(i, l) for i, l in labels.items()], "doc_id string, _label string"
+        ),
+        "doc_id",
+    )
+    cols = [c for c in wide.columns if not wide[c].isna().any()][:60]
+    by_p = rank_features(lab_df, cols, "_label", 10, mode="pvalue")
+    by_f = rank_features(lab_df, cols, "_label", 10, mode="anova")
+    fp = anova_p_values(lab_df, cols, "_label")
+    ps = np.array([fp[c][1] for c in cols])
+    assert ((ps >= 0) & (ps <= 1)).all()
+    # where p has not saturated to 0, the two orders agree
+    unsat = [c for c in by_p if fp[c][1] > 1e-300]
+    assert [c for c in by_f if c in unsat] == unsat or by_p == by_f
+
+
+def test_f_sf_golden_values():
+    """Pin the F survival function against published critical values:
+    P(F(3,36) > 2.8663) = 0.05, P(F(1,10) > 4.9646) = 0.05,
+    P(F(2,20) > 5.8489) = 0.01 (standard F tables)."""
+    from time2feat_spark.functions.special import f_sf
+
+    assert f_sf(2.8663, 3, 36) == pytest.approx(0.05, abs=2e-4)
+    assert f_sf(4.9646, 1, 10) == pytest.approx(0.05, abs=2e-4)
+    assert f_sf(5.8489, 2, 20) == pytest.approx(0.01, abs=2e-4)
+
+
+def test_spectral_clustering_on_bm(bm_features):
+    """ClusterWrapper 'Spectral' parity (t2f/model/clustering.py:62):
+    comparable quality to KMeans on the same feature block."""
+    wide, labels = bm_features
+    cols = [c for c in wide.columns if not wide[c].isna().any()]
+    X = wide[cols].to_numpy()
+    pred_s = ClusterWrapper(4, model_type="Spectral").fit_predict(X)
+    pred_k = ClusterWrapper(4, model_type="KMeans").fit_predict(X)
+    ami_s = ami(labels.to_numpy(), pred_s)
+    ami_k = ami(labels.to_numpy(), pred_k)
+    assert ami_s >= min(0.7, ami_k - 0.1), f"spectral {ami_s} vs kmeans {ami_k}"

@@ -1,0 +1,750 @@
+"""Full tsfresh-parity feature kernel: the reference's 787 per-signal grid.
+
+The reference extracts tsfresh ``ComprehensiveFCParameters`` per signal
+(call site /root/reference/t2f/extraction/extractor_single.py:26-32;
+count 787/signal confirmed by report Table 3: Li S=2 -> 1574, BM S=6 ->
+4722, PS S=11 -> 8657 intra features). tsfresh is not installable in
+this sandbox, so the grid is RECONSTRUCTED from the public tsfresh 0.20
+parameter space (settings.py defaults, documented per-family below);
+the one free parameter needed to land exactly on 787 is the
+fft_coefficient coefficient range, taken as 0..100 inclusive
+(101 coeffs x 4 attrs = 404). The registry's total is asserted at 787
+by tests/test_parity_bm.py.
+
+Semantics follow the public tsfresh 0.20 calculator formulas (and, for
+welch/cwt, the scipy.signal algorithms they call), re-derived — no
+reference code is copied. The heavy O(T^2)/sequential calculators
+(sample/approximate entropy, Lempel-Ziv, ADF) live ONLY here, in the
+fixture-parity path — the production rollup ladder keeps the curated
+O(T)/O(T log T) subset (SURVEY.md §7.3). matrix_profile and
+query_similarity_count are emitted as NaN columns (tsfresh itself needs
+the external `matrixprofile` package / a query argument; the columns
+exist for schema-width parity).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .kernels import window_stats, _binned_entropy
+from .special import norm_cdf, t_sf_two_sided
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_SIMPLE = [
+    "abs_energy", "absolute_maximum", "absolute_sum_of_changes",
+    "benford_correlation", "count_above_mean", "count_below_mean",
+    "first_location_of_maximum", "first_location_of_minimum",
+    "has_duplicate", "has_duplicate_max", "has_duplicate_min", "kurtosis",
+    "last_location_of_maximum", "last_location_of_minimum", "length",
+    "longest_strike_above_mean", "longest_strike_below_mean", "maximum",
+    "mean", "mean_abs_change", "mean_change",
+    "mean_second_derivative_central", "median", "minimum",
+    "percentage_of_reoccurring_datapoints_to_all_datapoints",
+    "percentage_of_reoccurring_values_to_all_values",
+    "ratio_value_number_to_time_series_length", "root_mean_square",
+    "sample_entropy", "skewness", "standard_deviation",
+    "sum_of_reoccurring_data_points", "sum_of_reoccurring_values",
+    "sum_values", "variance", "variance_larger_than_standard_deviation",
+    "variation_coefficient",
+]  # 37
+
+_CWT_WIDTHS = (2, 5, 10, 20)
+_RBS = ["r0_5", "r1", "r1_5", "r2", "r2_5", "r3", "r5", "r6", "r7", "r10"]
+_FFT_ATTRS = ["real", "imag", "abs", "angle"]
+_AGLT_AGGS = ["max", "min", "mean", "var"]
+_ENT_BINS = [2, 3, 5, 10, 100]
+
+_PARAMETRIC = (
+    [f"time_reversal_asymmetry_lag{l}" for l in (1, 2, 3)]
+    + [f"c3_lag{l}" for l in (1, 2, 3)]
+    + ["cid_ce", "cid_ce_norm"]
+    + [f"symmetry_looking_r{5*r:02d}" for r in range(20)]
+    + [f"large_standard_deviation_r{5*r:02d}" for r in range(1, 20)]
+    + [f"q{q}" for q in (10, 20, 30, 40, 60, 70, 80, 90)]
+    + [f"autocorr_lag{l}" for l in range(10)]
+    + [f"agg_autocorr_{a}_40" for a in ("mean", "median", "var")]
+    + [f"pacf_lag{l}" for l in range(10)]
+    + [f"number_cwt_peaks_{n}" for n in (1, 5)]
+    + [f"number_peaks_{n}" for n in (1, 3, 5, 10, 50)]
+    + ["binned_entropy_10"]
+    + [f"index_mass_quantile_{q}" for q in (10, 20, 30, 40, 60, 70, 80, 90)]
+    + [f"cwt_coeff_w{w}_{i}" for w in _CWT_WIDTHS for i in range(15)]
+    + [f"spkt_welch_coeff_{c}" for c in (2, 5, 8)]
+    + [f"ar_coeff_{i}_k10" for i in range(5)]
+    + [
+        f"change_q_{int(ql*10)}_{int(qh*10)}_{int(b)}_{agg}"
+        for ql in (0.0, 0.2, 0.4, 0.6, 0.8)
+        for qh in (0.2, 0.4, 0.6, 0.8, 1.0)
+        for b in (False, True)
+        for agg in ("mean", "var")
+        if ql < qh
+    ]
+    + [f"fft_coeff_{a}_{i}" for a in _FFT_ATTRS for i in range(101)]
+    + [f"fft_agg_{a}" for a in ("centroid", "variance", "skew", "kurtosis")]
+    + [f"value_count_{v}" for v in (0, 1, -1)]
+    + ["range_count_m1_p1", "range_count_1e12_0", "range_count_0_1e12"]
+    + [f"approx_entropy_r{r:02d}" for r in (1, 3, 5, 7, 9)]
+    + [f"friedrich_coeff_{i}_m3_r30" for i in range(4)]
+    + ["max_langevin_fixed_point_m3_r30"]
+    + [f"linear_trend_{a}" for a in
+       ("pvalue", "rvalue", "intercept", "slope", "stderr")]
+    + [
+        f"agg_linear_trend_{attr}_{cl}_{agg}"
+        for attr in ("rvalue", "intercept", "slope", "stderr")
+        for cl in (5, 10, 50)
+        for agg in _AGLT_AGGS
+    ]
+    + ["adf_teststat", "adf_pvalue", "adf_usedlag"]
+    + ["number_crossing_m1", "number_crossing_0", "number_crossing_p1"]
+    + [f"energy_ratio_chunk{i}" for i in range(10)]
+    + [f"ratio_beyond_{r}_sigma" for r in _RBS]
+    + ["count_above_t0", "count_below_t0"]
+    + [f"lempel_ziv_b{b}" for b in _ENT_BINS]
+    + [f"fourier_entropy_b{b}" for b in _ENT_BINS]
+    + [f"permutation_entropy_d{d}" for d in (3, 4, 5, 6, 7)]
+    + ["query_similarity_count"]
+    + [f"matrix_profile_{a}" for a in
+       ("min", "max", "mean", "median", "p25", "p75")]
+    + ["mean_n_absolute_max_7"]
+)
+
+PARITY_FEATURES: list[str] = _SIMPLE + _PARAMETRIC  # 787
+
+# subset delegated to the rollup kernel (shared vectorized implementations)
+_KERNEL_RENAME = {
+    "length": "count", "sum_values": "sum", "minimum": "min",
+    "maximum": "max", "mean": "mean", "standard_deviation": "std",
+}
+_KERNEL_PASSTHROUGH = (
+    [
+        "variance", "median", "abs_energy", "root_mean_square",
+        "absolute_maximum", "variation_coefficient", "skewness", "kurtosis",
+        "mean_abs_change", "mean_change", "mean_second_derivative_central",
+        "absolute_sum_of_changes", "cid_ce", "cid_ce_norm",
+        "count_above_mean", "count_below_mean", "longest_strike_above_mean",
+        "longest_strike_below_mean", "number_crossing_0",
+        "first_location_of_maximum", "last_location_of_maximum",
+        "first_location_of_minimum", "last_location_of_minimum",
+        "binned_entropy_10", "has_duplicate", "has_duplicate_max",
+        "has_duplicate_min", "ratio_value_number_to_time_series_length",
+        "sum_of_reoccurring_values", "sum_of_reoccurring_data_points",
+        "percentage_of_reoccurring_values_to_all_values",
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        "linear_trend_slope", "linear_trend_intercept",
+        "linear_trend_rvalue", "linear_trend_stderr",
+    ]
+    + [f"q{q}" for q in (10, 20, 30, 40, 60, 70, 80, 90)]
+    + [f"autocorr_lag{l}" for l in range(1, 10)]
+    + [f"pacf_lag{l}" for l in range(1, 10)]
+    + [f"agg_autocorr_{a}_40" for a in ("mean", "median", "var")]
+    + [f"c3_lag{l}" for l in (1, 2, 3)]
+    + [f"time_reversal_asymmetry_lag{l}" for l in (1, 2, 3)]
+    + [f"symmetry_looking_r{5*r:02d}" for r in range(20)]
+    + [f"large_standard_deviation_r{5*r:02d}" for r in range(1, 20)]
+    + [f"number_peaks_{n}" for n in (1, 3, 5, 10, 50)]
+    + [f"index_mass_quantile_{q}" for q in (10, 20, 30, 40, 60, 70, 80, 90)]
+    + [f"value_count_{v}" for v in (0, 1, -1)]
+    + [f"energy_ratio_chunk{i}" for i in range(10)]
+    + [f"ratio_beyond_{r}_sigma" for r in _RBS]
+    + [
+        f"change_q_{int(ql*10)}_{int(qh*10)}_{int(b)}_{agg}"
+        for ql in (0.0, 0.2, 0.4, 0.6, 0.8)
+        for qh in (0.2, 0.4, 0.6, 0.8, 1.0)
+        for b in (False, True)
+        for agg in ("mean", "var")
+        if ql < qh
+    ]
+)
+
+
+def _sliding(x: np.ndarray, m: int) -> np.ndarray:
+    return np.lib.stride_tricks.sliding_window_view(x, m)
+
+
+# ---------------------------------------------------------------------------
+# per-series calculators (parity-only; documented tsfresh 0.20 semantics)
+# ---------------------------------------------------------------------------
+
+def _sample_entropy(x: np.ndarray) -> float:
+    """m=2, r = 0.2*std; ordered template pairs excluding self-matches."""
+    n = len(x)
+    if n < 4:
+        return np.nan
+    tol = 0.2 * x.std()
+    vals = []
+    for m in (2, 3):
+        xm = _sliding(x, m)
+        d = np.abs(xm[:, None, :] - xm[None, :, :]).max(axis=2)
+        vals.append(float((d <= tol).sum() - len(xm)))
+    a, b = vals[1], vals[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(-np.log(a / b)) if b > 0 and a > 0 else np.nan
+
+
+def _approximate_entropy(x: np.ndarray, m: int, r: float) -> float:
+    """tsfresh semantics: raw tolerance r (not scaled by std); returns 0
+    for series shorter than m+2."""
+    n = len(x)
+    if n <= m + 1:
+        return 0.0
+
+    def phi(mm: int) -> float:
+        xm = _sliding(x, mm)
+        d = np.abs(xm[:, None, :] - xm[None, :, :]).max(axis=2)
+        c = (d <= r).sum(axis=0) / (n - mm + 1.0)
+        return float(np.log(c).sum() / (n - mm + 1.0))
+
+    return abs(phi(m) - phi(m + 1))
+
+
+def _permutation_entropy(x: np.ndarray, dim: int) -> float:
+    if len(x) < dim:
+        return np.nan
+    xm = _sliding(x, dim)
+    ranks = np.argsort(np.argsort(xm, axis=1), axis=1)
+    codes = (ranks * (dim ** np.arange(dim))[None, :]).sum(axis=1)
+    _, cnt = np.unique(codes, return_counts=True)
+    p = cnt / cnt.sum()
+    return float(-(p * np.log(p)).sum())
+
+
+def _lempel_ziv(x: np.ndarray, bins: int) -> float:
+    """Greedy distinct-substring complexity over the bin-discretized
+    sequence (tsfresh lempel_ziv_complexity)."""
+    n = len(x)
+    if n == 0:
+        return np.nan
+    edges = np.linspace(x.min(), x.max(), bins + 1)[1:]
+    seq = np.searchsorted(edges, x, side="left")
+    subs: set[tuple] = set()
+    ind, inc = 0, 1
+    while ind + inc <= n:
+        sub = tuple(seq[ind : ind + inc])
+        if sub in subs:
+            inc += 1
+        else:
+            subs.add(sub)
+            ind += inc
+            inc = 1
+    return len(subs) / n
+
+
+def _benford(x: np.ndarray) -> float:
+    """Correlation of the first-significant-digit distribution with
+    Benford's law; NaN/inf -> 0 first (tsfresh nan_to_num)."""
+    x = np.abs(np.nan_to_num(x))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e = np.floor(np.log10(np.where(x > 0, x, 1.0)))
+        d = np.where(x > 0, np.floor(x / 10.0**e), 0.0)
+    digits = np.arange(1, 10)
+    obs = (d[:, None] == digits[None, :]).mean(axis=0)
+    ben = np.log10(1.0 + 1.0 / digits)
+    ob = obs - obs.mean()
+    bb = ben - ben.mean()
+    denom = np.sqrt((ob * ob).sum() * (bb * bb).sum())
+    return float(ob @ bb / denom) if denom > 0 else np.nan
+
+
+def _ar_params(x: np.ndarray, k: int) -> np.ndarray:
+    """AR(k) by conditional OLS with intercept: params[0]=const,
+    params[i]=phi_i (AutoReg(trend='c') equivalent)."""
+    n = len(x)
+    if n <= k + 1:
+        return np.full(k + 1, np.nan)
+    y = x[k:]
+    cols = [np.ones(n - k)] + [x[k - i : n - i] for i in range(1, k + 1)]
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    return beta
+
+
+# MacKinnon (1994) approximate p-value surface for the ADF tau statistic,
+# regression='c', one variable — public constants (statsmodels mackinnonp)
+_TAU_MAX_C, _TAU_MIN_C, _TAU_STAR_C = 2.74, -18.83, -1.61
+_TAU_C_SMALLP = [2.1659, 1.4412, 0.038269]
+_TAU_C_LARGEP = [1.7339, 0.93202, -0.12745, -0.010368]
+
+
+def _ols(X: np.ndarray, y: np.ndarray):
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    ssr = float(resid @ resid)
+    return beta, ssr
+
+
+def _adf(x: np.ndarray) -> tuple[float, float, float]:
+    """Augmented Dickey-Fuller, regression='c', autolag='AIC'
+    (statsmodels adfuller semantics): returns (teststat, pvalue, usedlag).
+    """
+    n = len(x)
+    maxlag = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
+    maxlag = min(n // 2 - 2, maxlag)
+    if maxlag < 0 or n < 4:
+        return np.nan, np.nan, np.nan
+    dx = np.diff(x)
+
+    def design(p: int):
+        # rows t use dx[t-1] as response with regressors
+        # [x_{t-1}, dx_{t-2}..dx_{t-1-p}, 1], trimmed to maxlag for autolag
+        m = len(dx)  # = n - 1
+        rows = np.arange(maxlag, m)
+        y = dx[rows]
+        lagged_level = x[rows]  # x_{t-1}
+        cols = [lagged_level]
+        for i in range(1, p + 1):
+            cols.append(dx[rows - i])
+        cols.append(np.ones(len(rows)))
+        return np.column_stack(cols), y
+
+    # autolag: same sample for all candidate lags, pick min AIC
+    best_p, best_aic = 0, np.inf
+    for p in range(0, maxlag + 1):
+        X, y = design(p)
+        if X.shape[0] <= X.shape[1]:
+            continue
+        _, ssr = _ols(X, y)
+        nobs = len(y)
+        if ssr <= 0:
+            aic = -np.inf
+        else:
+            llf = -nobs / 2.0 * (np.log(2 * np.pi) + np.log(ssr / nobs) + 1)
+            aic = -2 * llf + 2 * (X.shape[1])
+        if aic < best_aic:
+            best_aic, best_p = aic, p
+
+    # final regression with usedlag, full available sample
+    p = best_p
+    m = len(dx)
+    rows = np.arange(p, m)
+    y = dx[rows]
+    cols = [x[rows]]
+    for i in range(1, p + 1):
+        cols.append(dx[rows - i])
+    cols.append(np.ones(len(rows)))
+    X = np.column_stack(cols)
+    if X.shape[0] <= X.shape[1]:
+        return np.nan, np.nan, float(p)
+    beta, ssr = _ols(X, y)
+    dof = X.shape[0] - X.shape[1]
+    sigma2 = ssr / dof
+    xtx_inv = np.linalg.pinv(X.T @ X)
+    se0 = math.sqrt(max(sigma2 * xtx_inv[0, 0], 0.0))
+    stat = beta[0] / se0 if se0 > 0 else np.nan
+    # MacKinnon approximate p-value
+    if not np.isfinite(stat):
+        pval = np.nan
+    elif stat > _TAU_MAX_C:
+        pval = 1.0
+    elif stat < _TAU_MIN_C:
+        pval = 0.0
+    else:
+        coeffs = _TAU_C_SMALLP if stat <= _TAU_STAR_C else _TAU_C_LARGEP
+        z = sum(c * stat**i for i, c in enumerate(coeffs))
+        pval = float(norm_cdf(np.array([z]))[0])
+    return float(stat), pval, float(p)
+
+
+def _friedrich(x: np.ndarray, m: int = 3, r: int = 30) -> np.ndarray:
+    """Quantile-bin the signal into r bins, mean (x, dx) per bin, polyfit
+    of degree m (np.polyfit order: highest power first)."""
+    if len(x) < r + 1:
+        return np.full(m + 1, np.nan)
+    xs, dx = x[:-1], np.diff(x)
+    edges = np.quantile(xs, np.linspace(0, 1, r + 1))
+    if np.unique(edges).size < 3:
+        return np.full(m + 1, np.nan)
+    which = np.clip(np.searchsorted(edges, xs, side="right") - 1, 0, r - 1)
+    sums_x = np.zeros(r)
+    sums_d = np.zeros(r)
+    cnt = np.zeros(r)
+    np.add.at(sums_x, which, xs)
+    np.add.at(sums_d, which, dx)
+    np.add.at(cnt, which, 1.0)
+    ok = cnt > 0
+    if ok.sum() <= m:
+        return np.full(m + 1, np.nan)
+    try:
+        return np.polyfit(sums_x[ok] / cnt[ok], sums_d[ok] / cnt[ok], deg=m)
+    except (np.linalg.LinAlgError, ValueError):
+        return np.full(m + 1, np.nan)
+
+
+def _max_langevin(coef: np.ndarray) -> float:
+    if not np.all(np.isfinite(coef)):
+        return np.nan
+    try:
+        roots = np.roots(coef)
+    except np.linalg.LinAlgError:
+        return np.nan
+    real = roots[np.isreal(roots)].real
+    return float(real.max()) if real.size else np.nan
+
+
+def _hann_periodic(m: int) -> np.ndarray:
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(m) / m)
+
+
+def _welch(x: np.ndarray) -> np.ndarray:
+    """scipy.signal.welch defaults: fs=1, periodic hann, nperseg =
+    min(256, n), 50% overlap, constant detrend per segment, density
+    scaling, mean average. Returns the one-sided PSD."""
+    n = len(x)
+    nper = min(256, n)
+    if nper < 1:
+        return np.array([])
+    step = nper - nper // 2
+    starts = np.arange(0, n - nper + 1, step)
+    if len(starts) == 0:
+        starts = np.array([0])
+    segs = np.stack([x[s : s + nper] for s in starts])
+    segs = segs - segs.mean(axis=1, keepdims=True)
+    w = _hann_periodic(nper)
+    spec = np.fft.rfft(segs * w[None, :], axis=1)
+    scale = 1.0 / (w * w).sum()
+    pxx = (spec.real**2 + spec.imag**2) * scale
+    pxx[:, 1:] *= 2.0
+    if nper % 2 == 0:
+        pxx[:, -1] /= 2.0
+    return pxx.mean(axis=0)
+
+
+def _ricker(points: int, a: float) -> np.ndarray:
+    A = 2.0 / (np.sqrt(3.0 * a) * np.pi**0.25)
+    vec = np.arange(points) - (points - 1.0) / 2.0
+    return A * (1 - (vec / a) ** 2) * np.exp(-(vec**2) / (2.0 * a**2))
+
+
+def _cwt_row(x: np.ndarray, widths: tuple[int, ...]) -> np.ndarray:
+    """scipy.signal.cwt(x, ricker, widths): convolution with a
+    min(10*width, n)-point ricker per width, mode='same'."""
+    n = len(x)
+    out = np.empty((len(widths), n))
+    for wi, a in enumerate(widths):
+        wav = _ricker(min(10 * a, n), a)
+        out[wi] = np.convolve(x, wav, mode="same")
+    return out
+
+
+def _number_cwt_peaks(x: np.ndarray, max_width: int) -> float:
+    """scipy.signal.find_peaks_cwt(x, arange(1, max_width+1), ricker)
+    re-derived: ridge lines over local maxima of the cwt matrix, filtered
+    by length >= n_widths/4 and snr >= 1 (noise = 10th percentile of
+    |cwt[0]| in a window around the ridge column)."""
+    n = len(x)
+    widths = np.arange(1, max_width + 1)
+    cwt = _cwt_row(x, tuple(widths))
+    n_w = len(widths)
+    # per-row local maxima (order = width/4, min 1; scipy uses
+    # window_size = ceil(width/4)*2+1 via _boolrelextrema order>=1)
+    maxima = []
+    for wi in range(n_w):
+        row = cwt[wi]
+        order = max(int(widths[wi] / 4), 1)
+        is_max = np.ones(n, dtype=bool)
+        for o in range(1, order + 1):
+            left = np.empty(n, dtype=bool)
+            left[:o] = True
+            left[o:] = row[o:] > row[:-o]
+            right = np.empty(n, dtype=bool)
+            right[-o:] = True
+            right[:-o] = row[:-o] > row[o:]
+            is_max &= left & right
+        maxima.append(np.nonzero(is_max)[0])
+    # ridge lines: connect maxima across rows (top width down), allowing
+    # per-row column drift <= max(width/4, 1) and gaps <= 2 rows
+    gap_thresh = 2
+    ridges: list[list[tuple[int, int]]] = []
+    active: list[dict] = []
+    for wi in range(n_w - 1, -1, -1):
+        cols = list(maxima[wi])
+        max_dist = max(widths[wi] / 4.0, 1.0)
+        for r in active:
+            r["gap"] += 1
+        for col in cols:
+            best = None
+            for r in active:
+                if r["gap"] <= gap_thresh and abs(r["cols"][-1] - col) <= max_dist:
+                    if best is None or abs(r["cols"][-1] - col) < abs(
+                        best["cols"][-1] - col
+                    ):
+                        best = r
+            if best is not None:
+                best["cols"].append(col)
+                best["rows"].append(wi)
+                best["gap"] = 0
+            else:
+                active.append({"cols": [col], "rows": [wi], "gap": 0})
+        done = [r for r in active if r["gap"] > gap_thresh]
+        active = [r for r in active if r["gap"] <= gap_thresh]
+        ridges.extend(
+            list(zip(r["rows"], r["cols"])) for r in done
+        )
+    ridges.extend(list(zip(r["rows"], r["cols"])) for r in active)
+    # filter: min length, min snr (scipy find_peaks_cwt defaults)
+    min_length = int(np.ceil(n_w / 4.0))
+    window_size = int(np.ceil(n / 20.0))
+    hf = max(window_size // 2, 1)
+    row0 = np.abs(cwt[0])
+    count = 0
+    for ridge in ridges:
+        if len(ridge) < min_length:
+            continue
+        _, col = ridge[-1]  # point at the smallest width
+        lo, hi = max(col - hf, 0), min(col + hf + 1, n)
+        noise = np.percentile(row0[lo:hi], 10)
+        signal = abs(cwt[0][col])
+        if noise <= 0 or signal / noise >= 1.0:
+            count += 1
+    return float(count)
+
+
+# ---------------------------------------------------------------------------
+# batched driver
+# ---------------------------------------------------------------------------
+
+def parity_stats(mat: np.ndarray, counts: np.ndarray) -> dict[str, np.ndarray]:
+    """All 787 parity features for k NaN-padded series at once. Shares
+    the vectorized rollup kernel for everything it covers; the parity-only
+    calculators run per length group (vectorized where the algorithm
+    allows, per-row for the inherently sequential ones)."""
+    k, w = mat.shape
+    counts = counts.astype(np.int64)
+    out: dict[str, np.ndarray] = {
+        name: np.full(k, np.nan) for name in PARITY_FEATURES
+    }
+
+    ws = window_stats(mat, counts, list(_KERNEL_PASSTHROUGH) + ["std"])
+    for parity_name, kern_name in _KERNEL_RENAME.items():
+        out[parity_name] = ws[kern_name]
+    for name in _KERNEL_PASSTHROUGH:
+        out[name] = ws[name]
+
+    n = counts.astype(np.float64)
+    var = ws["variance"]
+    std = ws["std"]
+    mean = ws["mean"]
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["variance_larger_than_standard_deviation"] = (
+            var > std
+        ).astype(np.float64)
+        # lag-0 autocorrelation/PACF are identically 1 (0/0 -> NaN on
+        # constant series, matching tsfresh's var==0 guard)
+        out["autocorr_lag0"] = np.where(var > 0, 1.0, np.nan)
+        out["pacf_lag0"] = np.where(counts > 0, 1.0, np.nan)
+
+        # percentages above/below a level (tsfresh count_above/count_below)
+        out["count_above_t0"] = np.nansum(mat >= 0, axis=1) / n
+        out["count_below_t0"] = np.nansum(mat <= 0, axis=1) / n
+
+        # level crossings at m = -1, +1 (m=0 comes from the kernel)
+        for name, level in (("number_crossing_m1", -1.0),
+                            ("number_crossing_p1", 1.0)):
+            if w > 1:
+                pos = mat > level
+                chg = pos[:, 1:] != pos[:, :-1]
+                valid = np.arange(1, w)[None, :] < counts[:, None]
+                out[name] = (chg & valid).sum(axis=1).astype(np.float64)
+            else:
+                out[name] = np.zeros(k)
+
+        # range counts (integer counts, tsfresh min <= x < max)
+        for name, lo, hi in (
+            ("range_count_m1_p1", -1.0, 1.0),
+            ("range_count_1e12_0", 1e12, 0.0),
+            ("range_count_0_1e12", 0.0, 1e12),
+        ):
+            out[name] = np.nansum((mat >= lo) & (mat < hi), axis=1).astype(
+                np.float64
+            )
+
+        # mean of the 7 largest absolute values
+        absx = np.where(np.isnan(mat), -np.inf, np.abs(mat))
+        topk = np.sort(absx, axis=1)[:, -7:] if w >= 7 else None
+        if topk is not None:
+            out["mean_n_absolute_max_7"] = np.where(
+                counts >= 7, topk.mean(axis=1), np.nan
+            )
+
+        # linear_trend p-value (two-sided t-test of the slope, df = n-2)
+        tstat = ws["linear_trend_slope"] / ws["linear_trend_stderr"]
+        df = np.maximum(n - 2, 1)
+        pv = t_sf_two_sided(np.nan_to_num(tstat, nan=0.0), df)
+        pv = np.where(np.isnan(tstat), np.nan, pv)
+        out["linear_trend_pvalue"] = np.where(counts > 2, pv, np.nan)
+        out["linear_trend_pvalue"] = np.where(
+            np.isinf(tstat), 0.0, out["linear_trend_pvalue"]
+        )
+
+    # ---- per length group ----
+    for cnt in np.unique(counts):
+        sel = np.nonzero(counts == cnt)[0]
+        cnt = int(cnt)
+        if cnt == 0:
+            continue
+        sub = mat[sel, :cnt]
+        _fft_block(out, sub, sel, cnt)
+        _welch_block(out, sub, sel, cnt)
+        _cwt_block(out, sub, sel, cnt)
+        _agg_linear_trend_block(out, sub, sel, cnt)
+        _benford_block(out, sub, sel)
+        for j, row_idx in enumerate(sel):
+            x = sub[j]
+            out["sample_entropy"][row_idx] = _sample_entropy(x)
+            for rr in (1, 3, 5, 7, 9):
+                out[f"approx_entropy_r{rr:02d}"][row_idx] = (
+                    _approximate_entropy(x, 2, rr / 10.0)
+                )
+            for d in (3, 4, 5, 6, 7):
+                out[f"permutation_entropy_d{d}"][row_idx] = (
+                    _permutation_entropy(x, d)
+                )
+            for b in _ENT_BINS:
+                out[f"lempel_ziv_b{b}"][row_idx] = _lempel_ziv(x, b)
+            ar = _ar_params(x, 10)
+            for i in range(5):
+                out[f"ar_coeff_{i}_k10"][row_idx] = ar[i]
+            stat, pv_, lag = _adf(x)
+            out["adf_teststat"][row_idx] = stat
+            out["adf_pvalue"][row_idx] = pv_
+            out["adf_usedlag"][row_idx] = lag
+            fr = _friedrich(x)
+            for i in range(4):
+                out[f"friedrich_coeff_{i}_m3_r30"][row_idx] = fr[i]
+            out["max_langevin_fixed_point_m3_r30"][row_idx] = _max_langevin(fr)
+            for nn in (1, 5):
+                out[f"number_cwt_peaks_{nn}"][row_idx] = _number_cwt_peaks(
+                    x, nn
+                )
+    return out
+
+
+def _fft_block(out, sub, sel, cnt):
+    spec = np.fft.rfft(sub, axis=1)
+    nb = spec.shape[1]
+    mag = np.abs(spec)
+    vals = {
+        "real": spec.real,
+        "imag": spec.imag,
+        "abs": mag,
+        "angle": np.angle(spec, deg=True),  # tsfresh: degrees
+    }
+    for attr in _FFT_ATTRS:
+        v = vals[attr]
+        for i in range(min(101, nb)):
+            out[f"fft_coeff_{attr}_{i}"][sel] = v[:, i]
+    # spectral moments over |rfft| treated as a mass distribution
+    idx = np.arange(nb, dtype=np.float64)
+    tot = mag.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m1 = (mag * idx).sum(axis=1) / tot
+        m2 = (mag * idx**2).sum(axis=1) / tot
+        m3 = (mag * idx**3).sum(axis=1) / tot
+        m4 = (mag * idx**4).sum(axis=1) / tot
+        varr = m2 - m1**2
+        skew = np.where(
+            varr > 0.5,
+            (m3 - 3 * m1 * varr - m1**3) / varr**1.5,
+            np.nan,
+        )
+        kurt = np.where(
+            varr > 0.5,
+            (m4 - 4 * m1 * m3 + 6 * m1**2 * m2 - 3 * m1**4) / varr**2,
+            np.nan,
+        )
+    out["fft_agg_centroid"][sel] = m1
+    out["fft_agg_variance"][sel] = varr
+    out["fft_agg_skew"][sel] = skew
+    out["fft_agg_kurtosis"][sel] = kurt
+
+
+def _welch_block(out, sub, sel, cnt):
+    for j, row_idx in enumerate(sel):
+        pxx = _welch(sub[j])
+        for c in (2, 5, 8):
+            if c < len(pxx):
+                out[f"spkt_welch_coeff_{c}"][row_idx] = pxx[c]
+        if len(pxx):
+            norm = pxx / pxx.max() if pxx.max() > 0 else pxx
+            m = norm[None, :]
+            for b in _ENT_BINS:
+                out[f"fourier_entropy_b{b}"][row_idx] = _binned_entropy(
+                    m, np.array([len(norm)]), b
+                )[0]
+
+
+def _cwt_block(out, sub, sel, cnt):
+    for a in _CWT_WIDTHS:
+        wav = _ricker(min(10 * a, cnt), a)
+        conv = _conv_same_batch(sub, wav)
+        for i in range(15):
+            if i < cnt:
+                out[f"cwt_coeff_w{a}_{i}"][sel] = conv[:, i]
+
+
+def _conv_same_batch(rows: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """np.convolve(row, kernel, mode='same') for every row, via FFT."""
+    k_, n = rows.shape
+    m = len(kernel)
+    full = n + m - 1
+    size = 1 << (full - 1).bit_length()
+    fr = np.fft.rfft(rows, size, axis=1)
+    fk = np.fft.rfft(kernel, size)
+    conv_full = np.fft.irfft(fr * fk[None, :], size, axis=1)[:, :full]
+    start = (m - 1) // 2
+    return conv_full[:, start : start + n]
+
+
+def _agg_linear_trend_block(out, sub, sel, cnt):
+    """tsfresh agg_linear_trend: chunk the series into blocks of
+    chunk_len, aggregate each with f_agg, then linregress over the
+    aggregated sequence."""
+    for cl in (5, 10, 50):
+        n_chunks = int(np.ceil(cnt / cl))
+        if n_chunks < 2:
+            continue  # linregress needs >= 2 points -> NaN stays
+        pad = n_chunks * cl - cnt
+        padded = np.pad(
+            sub, ((0, 0), (0, pad)), constant_values=np.nan
+        ).reshape(len(sel), n_chunks, cl)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            aggs = {
+                "max": np.nanmax(padded, axis=2),
+                "min": np.nanmin(padded, axis=2),
+                "mean": np.nanmean(padded, axis=2),
+                "var": np.nanvar(padded, axis=2),
+            }
+        t = np.arange(n_chunks, dtype=np.float64)
+        st = t.sum()
+        stt = (t * t).sum()
+        nn = float(n_chunks)
+        sst_t = stt - st * st / nn
+        for agg_name, y in aggs.items():
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sy = y.sum(axis=1)
+                sty = (y * t[None, :]).sum(axis=1)
+                cov = sty - st * sy / nn
+                slope = cov / sst_t
+                intercept = sy / nn - slope * (st / nn)
+                sst_y = ((y - (sy / nn)[:, None]) ** 2).sum(axis=1)
+                denr = np.sqrt(sst_t * sst_y)
+                rval = np.where(denr > 0, cov / denr, 0.0)
+                ssres = sst_y - slope * cov
+                stderr = np.sqrt(
+                    np.maximum(ssres, 0.0) / max(nn - 2, 1) / sst_t
+                )
+            out[f"agg_linear_trend_slope_{cl}_{agg_name}"][sel] = slope
+            out[f"agg_linear_trend_intercept_{cl}_{agg_name}"][sel] = intercept
+            out[f"agg_linear_trend_rvalue_{cl}_{agg_name}"][sel] = rval
+            if n_chunks > 2:
+                out[f"agg_linear_trend_stderr_{cl}_{agg_name}"][sel] = stderr
+
+
+def _benford_block(out, sub, sel):
+    for j, row_idx in enumerate(sel):
+        out["benford_correlation"][row_idx] = _benford(sub[j])

@@ -102,6 +102,39 @@ def agglomerative(X: np.ndarray, k: int) -> np.ndarray:
     return labels
 
 
+def spectral(
+    X: np.ndarray, k: int, gamma: float | None = None, seed: int = 42
+) -> np.ndarray:
+    """Spectral clustering (Ng-Jordan-Weiss 2002, the algorithm behind
+    sklearn SpectralClustering's default RBF path): RBF affinity
+    exp(-gamma*||xi-xj||^2) -> symmetric-normalized Laplacian -> k top
+    eigenvectors of D^-1/2 A D^-1/2 -> row-normalize -> k-means.
+    Reference parity: ClusterWrapper 'Spectral' mode
+    (t2f/model/clustering.py:62). Driver-side by design (SURVEY.md §4 O8:
+    post-selection matrices are one row per series)."""
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    k = min(k, n)
+    if gamma is None:
+        # 1/n_features: keeps RBF affinities informative on standardized
+        # high-dimensional features (gamma=1 saturates them all to ~0)
+        gamma = 1.0 / max(X.shape[1], 1)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    A = np.exp(-gamma * d2)
+    np.fill_diagonal(A, 0.0)
+    deg = A.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0))
+    M = A * dinv[:, None] * dinv[None, :]
+    vals, vecs = np.linalg.eigh(M)  # ascending; take the k largest
+    emb = vecs[:, -k:]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    _, labels = kmeans(emb, k, seed=seed)
+    return labels
+
+
 def _contingency(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     au, ai = np.unique(a, return_inverse=True)
     bu, bi = np.unique(b, return_inverse=True)
@@ -191,5 +224,7 @@ class ClusterWrapper:
         Z = (X - mu) / sd
         if self.model_type == "Hierarchical":
             return agglomerative(Z, self.n_clusters)
+        if self.model_type == "Spectral":
+            return spectral(Z, self.n_clusters, seed=self.seed)
         _, labels = kmeans(Z, self.n_clusters, seed=self.seed)
         return labels

@@ -62,6 +62,61 @@ def extract_series_features(
     return out.select(*keep)
 
 
+def extract_parity_features(
+    df: DataFrame,
+    value_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The FULL reference grid: 787 tsfresh-parity features per series
+    (report Table 3 width oracle; tsfresh call at
+    /root/reference/t2f/extraction/extractor_single.py:26-32). Fixture-
+    parity path — the production ladder uses the curated subset
+    (SURVEY.md §7.3). Shuffle-free mapInPandas; batch rows are padded to
+    a common width and processed by functions/parity.py in one call."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from ..functions.parity import PARITY_FEATURES, parity_stats
+
+    sel = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(value_col).cast("array<double>").alias("_vals"),
+    )
+    fields = [
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("n", LongType()),
+    ] + [StructField(f"feat_{nm}", DoubleType()) for nm in PARITY_FEATURES]
+    schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            from ..functions.kernels import pad_windows
+
+            arrs = list(pdf["_vals"])
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            flat = (
+                np.concatenate([np.asarray(a, dtype=np.float64) for a in arrs])
+                if lens.sum()
+                else np.empty(0)
+            )
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            mat, counts = pad_windows(flat, starts, ends)
+            st = parity_stats(mat, counts)
+            res = {"doc_id": pdf["doc_id"], "source": pdf["source"],
+                   "n": counts}
+            for nm in PARITY_FEATURES:
+                res[f"feat_{nm}"] = st[nm]
+            yield pd.DataFrame(res)
+
+    return sel.mapInPandas(run, schema)
+
+
 def _pair_distances(u: np.ndarray, v: np.ndarray) -> dict[str, float]:
     """The 8 scipy distance formulas (public definitions), one pass each."""
     du = u - v

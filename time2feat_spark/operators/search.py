@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from .clustering import ClusterWrapper, nmi
-from .selection import anova_f_scores, clean_features, pfa
+from .selection import anova_f_scores, anova_p_values, clean_features, pfa
 
 DEFAULT_GRID = [2, 4, 8, 16, 25, 50, 100]
 
@@ -29,12 +29,17 @@ def rank_features(
     mode: str = "anova",
 ) -> list[str]:
     """Strategy registry (importance_old.py:60-107 semantics):
-    'anova' = sk_base (F-score desc); 'domain' = per-family top-k then
-    merge (the reference splits the tsfresh name on '__'; here feature
-    families are the prefix before the first '_')."""
+    'anova' = sk_base (F-score desc); 'pvalue' = sk_pvalue (T2: p-value
+    asc, importance_old.py:62-72 — same order as F desc except where the
+    F sf saturates, where F desc breaks the tie); 'domain' = per-family
+    top-k then merge (the reference splits the tsfresh name on '__';
+    here feature families are the prefix before the first '_')."""
     if mode == "anova":
         scores = anova_f_scores(df, cols, label_col)
         return sorted(cols, key=lambda c: (-scores[c], c))[:top_k]
+    if mode == "pvalue":
+        fp = anova_p_values(df, cols, label_col)
+        return sorted(cols, key=lambda c: (fp[c][1], -fp[c][0], c))[:top_k]
     if mode == "domain":
         scores = anova_f_scores(df, cols, label_col)
         fams: dict[str, list[str]] = {}

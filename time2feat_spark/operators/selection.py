@@ -76,6 +76,27 @@ def anova_f_scores(
     return out
 
 
+def anova_p_values(
+    df: DataFrame, cols: list[str], label_col: str
+) -> dict[str, tuple[float, float]]:
+    """(F, p) per feature — f_classif semantics including the p-value
+    (F survival function, dfn=k-1, dfd=n-k; pure-numpy incomplete beta,
+    functions/special.py). Reference T2: sk_pvalue strategy sorts this
+    p ascending (t2f/utils/importance_old.py:62-72)."""
+    import numpy as np
+
+    from ..functions.special import f_sf
+
+    scores = anova_f_scores(df, cols, label_col)
+    kn = df.groupBy(label_col).count().collect()
+    k = len(kn)
+    n = sum(r["count"] for r in kn)
+    dfn, dfd = max(k - 1, 1), max(n - k, 1)
+    fs = np.array([scores[c] for c in cols])
+    ps = f_sf(fs, dfn, dfd)
+    return {c: (float(fs[i]), float(ps[i])) for i, c in enumerate(cols)}
+
+
 def top_k_features(
     df: DataFrame, cols: list[str], label_col: str, k: int
 ) -> list[str]:

@@ -74,13 +74,24 @@ class IcebergTableIO(TableIO):
     classpath and a configured catalog — not available in this sandbox, so
     construction fails fast with the spark-submit recipe."""
 
-    def __init__(self, table: str):
+    def __init__(self, table: str, spark: SparkSession | None = None):
         self.table = table
+        self.spark = spark
 
     def read(self, spark: SparkSession, snapshot: str | None = None) -> DataFrame:
         r = spark.read
         if snapshot is not None:
             r = r.option("snapshot-id", snapshot)
+        return r.table(self.table)
+
+    def read_incremental(
+        self, spark: SparkSession, start_snapshot: str, end_snapshot: str | None = None
+    ) -> DataFrame:
+        """Rows appended strictly after start_snapshot (Iceberg
+        incremental read) — the native form of the manifest watermark."""
+        r = spark.read.option("start-snapshot-id", start_snapshot)
+        if end_snapshot is not None:
+            r = r.option("end-snapshot-id", end_snapshot)
         return r.table(self.table)
 
     def append(self, df: DataFrame) -> None:
@@ -90,8 +101,14 @@ class IcebergTableIO(TableIO):
         df.writeTo(self.table).overwritePartitions()
 
     def snapshot(self) -> str:
-        raise NotImplementedError(
-            "requires an Iceberg catalog: spark-submit --packages "
-            "org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver> "
-            "--conf spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog"
-        )
+        if self.spark is None:
+            raise NotImplementedError(
+                "requires an Iceberg catalog: spark-submit --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver> "
+                "--conf spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog"
+            )
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(row.snapshot_id) if row else "empty"
