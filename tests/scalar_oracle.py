@@ -379,12 +379,94 @@ def all_features(x, feature_names):
             out[nm] = symmetry_looking(
                 x, int(nm.removeprefix("symmetry_looking_r")) / 100
             )
-        elif nm.startswith("fft_coeff_abs_"):
-            out[nm] = fft_coefficient_abs(x, int(nm.removeprefix("fft_coeff_abs_")))
+        elif nm.startswith("fft_coeff_"):
+            attr, k_ = nm.removeprefix("fft_coeff_").rsplit("_", 1)
+            out[nm] = fft_coefficient(x, attr, int(k_))
         elif nm == "fft_centroid":
             out[nm] = fft_aggregated(x, "centroid")
         elif nm == "fft_variance":
             out[nm] = fft_aggregated(x, "variance")
+        elif nm.startswith("number_crossing_"):
+            out[nm] = number_crossing_m(x, _signed(nm.removeprefix("number_crossing_")))
+        elif nm.startswith("range_count_"):
+            lo_s, hi_s = nm.removeprefix("range_count_").split("_")
+            out[nm] = float(np.sum((x >= _signed(lo_s)) & (x < _signed(hi_s))))
+        elif nm.startswith("count_above_t"):
+            out[nm] = float(np.mean(x >= _signed(nm.removeprefix("count_above_t"))))
+        elif nm.startswith("count_below_t"):
+            out[nm] = float(np.mean(x <= _signed(nm.removeprefix("count_below_t"))))
+        elif nm.startswith("mean_n_absolute_max_"):
+            nmax = int(nm.removeprefix("mean_n_absolute_max_"))
+            out[nm] = (
+                float(np.mean(np.sort(np.abs(x))[-nmax:]))
+                if len(x) >= nmax
+                else np.nan
+            )
+        elif nm.startswith("spkt_welch_coeff_"):
+            pxx = welch_psd(x)
+            c = int(nm.removeprefix("spkt_welch_coeff_"))
+            out[nm] = float(pxx[c]) if c < len(pxx) else np.nan
+        elif nm.startswith("fourier_entropy_"):
+            pxx = welch_psd(x)
+            out[nm] = binned_entropy(
+                pxx / pxx.max() if pxx.max() > 0 else pxx,
+                int(nm.removeprefix("fourier_entropy_")),
+            )
         else:
             out[nm] = globals()[nm](x)
     return out
+
+
+def _signed(s: str) -> float:
+    """'m2' -> -2, 'p3' -> 3, '0' -> 0 (kernel name grammar)."""
+    if s.startswith("m"):
+        return -float(s[1:])
+    return float(s.removeprefix("p"))
+
+
+def fft_coefficient(x, attr, k):
+    spec = np.fft.rfft(x)
+    if k >= len(spec):
+        return np.nan
+    if attr == "abs":
+        return float(np.abs(spec[k]))
+    if attr == "real":
+        return float(spec[k].real)
+    if attr == "imag":
+        return float(spec[k].imag)
+    return float(np.angle(spec[k], deg=True))
+
+
+def welch_psd(x):
+    """Independent scalar Welch (explicit segment loop): scipy defaults
+    fs=1, periodic hann, nperseg=min(256, n), 50% overlap, constant
+    detrend, density scaling, mean average."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    nper = min(256, n)
+    step = nper - nper // 2
+    if nper > 1:
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nper) / nper)
+    else:
+        w = np.ones(1)  # scipy hann(1) == [1]
+    psds = []
+    s = 0
+    while s + nper <= n:
+        seg = x[s : s + nper]
+        seg = seg - seg.mean()
+        spec = np.fft.rfft(seg * w)
+        p = (np.abs(spec) ** 2) / (w * w).sum()
+        p[1:] *= 2.0
+        if nper % 2 == 0:
+            p[-1] /= 2.0
+        psds.append(p)
+        s += step
+        if step == 0:
+            break
+    if not psds:
+        seg = x - x.mean()
+        spec = np.fft.rfft(seg * w[: len(seg)])
+        p = (np.abs(spec) ** 2) / (w[: len(seg)] ** 2).sum()
+        p[1:] *= 2.0
+        psds = [p]
+    return np.mean(psds, axis=0)

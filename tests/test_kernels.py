@@ -92,6 +92,11 @@ EXOTIC = [
     "index_mass_quantile_25", "value_count_7",
     "large_standard_deviation_r05", "symmetry_looking_r10",
     "change_q_0_6_1_var", "change_q_2_6_0_median", "fft_coeff_abs_7",
+    # round-2 registry additions (VERDICT r01 missing item 3)
+    "fft_coeff_real_4", "fft_coeff_imag_4", "fft_coeff_angle_4",
+    "number_crossing_m1", "number_crossing_p2", "range_count_m1_p1",
+    "count_above_t0", "count_below_tm1", "mean_n_absolute_max_3",
+    "spkt_welch_coeff_2", "fourier_entropy_10",
 ]
 
 

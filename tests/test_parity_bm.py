@@ -196,3 +196,27 @@ def test_nmi_ami_known_values():
     c = rng.integers(0, 3, 6000)
     d = rng.integers(0, 3, 6000)
     assert abs(ami(c, d)) < 0.02  # independent labelings ~ 0
+
+
+def test_ts_reader_tuple_rows_and_datetimes(tmp_path):
+    """@timeStamps true layouts: integer-index tuples and datetime
+    tuples (reference reader.py:169,305-393 semantics)."""
+    from time2feat_spark.sources.ts_reader import read_ts, read_ts_timestamps
+
+    p = tmp_path / "tup.ts"
+    p.write_text(
+        "@problemName toy\n@timeStamps true\n@classLabel true a b\n@data\n"
+        "(0,1.5),(1,?),(2,3.5):(0,9.0),(1,8.0),(2,7.0):a\n"
+        "(2024-01-01 00:00:00,1.0),(2024-01-01 00:00:01,2.0):"
+        "(2024-01-01 00:00:00,5.0),(2024-01-01 00:00:01,6.0):b\n"
+    )
+    vals, ts, labels, header = read_ts_timestamps(str(p))
+    assert labels == ["a", "b"]
+    assert header["timestamps"] == "true"
+    assert np.allclose(vals[0][0], [1.5, np.nan, 3.5], equal_nan=True)
+    assert list(ts[0][0]) == [0, 1, 2]
+    assert list(ts[1][1]) == [1704067200000, 1704067201000]  # epoch ms
+    assert np.allclose(vals[1][1], [5.0, 6.0])
+    # read_ts drops timestamps but parses the same values
+    v2, l2, _ = read_ts(str(p))
+    assert l2 == labels and np.allclose(v2[1][0], [1.0, 2.0])

@@ -120,3 +120,35 @@ def test_spectral_clustering_on_bm(bm_features):
     ami_s = ami(labels.to_numpy(), pred_s)
     ami_k = ami(labels.to_numpy(), pred_k)
     assert ami_s >= min(0.7, ami_k - 0.1), f"spectral {ami_s} vs kmeans {ami_k}"
+
+
+def test_mwu_relevance_modes(spark, bm_features):
+    """'tsfresh'/'multi' strategies (Mann-Whitney relevance p-values):
+    deterministic, probability-valued, and discriminative on BM."""
+    from time2feat_spark.operators.selection import mann_whitney_p
+
+    # hand-computed MWU golden: x=[1..4] vs [5..8], U=0, sigma^2=12,
+    # z=(8-0.5)/sqrt(12)=2.16506..., p=erfc(z/sqrt(2))=0.030383...
+    x = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=float)
+    mask = np.array([1, 1, 1, 1, 0, 0, 0, 0], dtype=bool)
+    assert mann_whitney_p(x, mask) == pytest.approx(0.0303831, abs=1e-6)
+
+    wide, labels = bm_features
+    sdf = spark.createDataFrame(
+        wide.reset_index().rename(columns={"case_id": "doc_id"})
+    )
+    lab_df = sdf.join(
+        spark.createDataFrame(
+            [(i, l) for i, l in labels.items()], "doc_id string, _label string"
+        ),
+        "doc_id",
+    )
+    cols = [c for c in wide.columns if not wide[c].isna().any()][:80]
+    top_multi = rank_features(lab_df, cols, "_label", 10, mode="multi")
+    top_ts = rank_features(lab_df, cols, "_label", 10, mode="tsfresh")
+    top_none = rank_features(lab_df, cols, "_label", 10, mode="none")
+    assert len(top_multi) == 10 and len(top_ts) == 10
+    assert len(top_none) == 10  # variance-threshold survivors
+    # the multi-selected block must cluster the cases well
+    pred = ClusterWrapper(4).fit_predict(wide[top_multi].to_numpy())
+    assert ami(labels.to_numpy(), pred) >= 0.5

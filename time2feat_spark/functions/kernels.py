@@ -376,16 +376,19 @@ def window_stats(
             out["longest_strike_above_mean"] = _longest_run(above)
         if "longest_strike_below_mean" in fset:
             out["longest_strike_below_mean"] = _longest_run(below)
-        if "number_crossing_0" in fset:
-            pos = mat > 0
+        for f in fset:
+            # number_crossing_0 / number_crossing_m1 / number_crossing_p7
+            m = re.fullmatch(r"number_crossing_(m|p)?(\d+)", f)
+            if not m:
+                continue
+            level = float(m[2]) * (-1.0 if m[1] == "m" else 1.0)
+            pos = mat > level
             if w > 1:
                 change = pos[:, 1:] != pos[:, :-1]
                 validpair = np.arange(1, w)[None, :] < counts[:, None]
-                out["number_crossing_0"] = (change & validpair).sum(axis=1).astype(
-                    np.float64
-                )
+                out[f] = (change & validpair).sum(axis=1).astype(np.float64)
             else:
-                out["number_crossing_0"] = np.zeros(k)
+                out[f] = np.zeros(k)
         for f in fset:
             m = re.fullmatch(r"number_peaks_(\d+)", f)
             if m:
@@ -487,6 +490,32 @@ def window_stats(
                 out[f] = np.nansum(mat == float(m[1]), axis=1).astype(
                     np.float64
                 )
+        for f in fset:
+            # range_count_m1_p1 = count of min <= x < max (tsfresh)
+            m = re.fullmatch(r"range_count_(m|p)?(\d+)_(m|p)?(\d+)", f)
+            if m:
+                lo = float(m[2]) * (-1.0 if m[1] == "m" else 1.0)
+                hi = float(m[4]) * (-1.0 if m[3] == "m" else 1.0)
+                out[f] = np.nansum((mat >= lo) & (mat < hi), axis=1).astype(
+                    np.float64
+                )
+        for f in fset:
+            # count_above_t0 / count_below_tm2: FRACTION of values >=/<= t
+            m = re.fullmatch(r"count_(above|below)_t(m|p)?(\d+)", f)
+            if m:
+                t_ = float(m[3]) * (-1.0 if m[2] == "m" else 1.0)
+                hits = mat >= t_ if m[1] == "above" else mat <= t_
+                out[f] = np.nansum(hits, axis=1) / n
+        for f in fset:
+            m = re.fullmatch(r"mean_n_absolute_max_(\d+)", f)
+            if m:
+                nn_ = int(m[1])
+                if w >= nn_:
+                    absx = np.where(np.isnan(mat), -np.inf, np.abs(mat))
+                    topk = np.sort(absx, axis=1)[:, -nn_:]
+                    out[f] = np.where(counts >= nn_, topk.mean(axis=1), np.nan)
+                else:
+                    out[f] = np.full(k, np.nan)
 
         imq = [
             (f, int(m[1]) / 100)
@@ -521,15 +550,22 @@ def window_stats(
                     np.float64
                 )
 
-        # ---- FFT family (per distinct window length: DFT size must equal
-        # the unpadded series length for tsfresh parity) ----
+        # ---- FFT / Welch family (per distinct window length: DFT size
+        # must equal the unpadded series length for tsfresh parity) ----
         fft_feats = [
             f for f in fset
-            if re.fullmatch(r"fft_coeff_abs_\d+", f)
+            if re.fullmatch(r"fft_coeff_(abs|real|imag|angle)_\d+", f)
             or f in ("fft_centroid", "fft_variance")
         ]
         if fft_feats:
             _fft_features(out, fft_feats, mat, counts)
+        welch_feats = [
+            f for f in fset
+            if re.fullmatch(r"spkt_welch_coeff_\d+", f)
+            or re.fullmatch(r"fourier_entropy_\d+", f)
+        ]
+        if welch_feats:
+            _welch_features(out, welch_feats, mat, counts)
 
         # ---- autocorrelation aggregates / PACF (optional, not in the
         # default rollup set: O(maxlag * k * w)) ----
@@ -756,13 +792,23 @@ def _fft_features(
     for cnt in np.unique(counts):
         sel = np.nonzero(counts == cnt)[0]
         sub = mat[sel, : int(cnt)]
-        spec = np.abs(np.fft.rfft(sub, axis=1))
+        cplx = np.fft.rfft(sub, axis=1)
+        spec = np.abs(cplx)
         nb = spec.shape[1]
         for f in feats:
-            if f.startswith("fft_coeff_abs_"):
-                c = int(f.removeprefix("fft_coeff_abs_"))
+            m = re.fullmatch(r"fft_coeff_(abs|real|imag|angle)_(\d+)", f)
+            if m:
+                c = int(m[2])
                 if c < nb:
-                    out[f][sel] = spec[:, c]
+                    attr = m[1]
+                    if attr == "abs":
+                        out[f][sel] = spec[:, c]
+                    elif attr == "real":
+                        out[f][sel] = cplx[:, c].real
+                    elif attr == "imag":
+                        out[f][sel] = cplx[:, c].imag
+                    else:  # angle, in degrees (tsfresh convention)
+                        out[f][sel] = np.angle(cplx[:, c], deg=True)
             elif f == "fft_centroid":
                 idx = np.arange(nb, dtype=np.float64)
                 tot = spec.sum(axis=1)
@@ -776,6 +822,70 @@ def _fft_features(
                     out[f][sel] = (
                         spec * (idx[None, :] - mu[:, None]) ** 2
                     ).sum(axis=1) / tot
+
+
+def welch_psd_rows(sub: np.ndarray) -> np.ndarray:
+    """One-sided Welch PSD for every row of an equal-length batch
+    (scipy.signal.welch defaults: fs=1, periodic hann, nperseg =
+    min(256, n), 50% overlap, per-segment constant detrend, density
+    scaling, mean average) — vectorized over (rows, segments)."""
+    b, n = sub.shape
+    nper = min(256, n)
+    if nper < 1:
+        return np.empty((b, 0))
+    step = nper - nper // 2
+    starts = np.arange(0, n - nper + 1, step)
+    if len(starts) == 0:
+        starts = np.array([0])
+    # (rows, segments, nper) gather — one fancy index, no Python loop
+    idx = starts[:, None] + np.arange(nper)[None, :]
+    segs = sub[:, idx]
+    segs = segs - segs.mean(axis=2, keepdims=True)
+    # periodic hann; length-1 degenerates to [0] -> scipy uses [1]
+    w = (
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nper) / nper)
+        if nper > 1
+        else np.ones(1)
+    )
+    spec = np.fft.rfft(segs * w[None, None, :], axis=2)
+    pxx = (spec.real**2 + spec.imag**2) / (w * w).sum()
+    pxx[:, :, 1:] *= 2.0
+    if nper % 2 == 0:
+        pxx[:, :, -1] /= 2.0
+    return pxx.mean(axis=1)
+
+
+def _welch_features(
+    out: dict[str, np.ndarray],
+    feats: list[str],
+    mat: np.ndarray,
+    counts: np.ndarray,
+) -> None:
+    """spkt_welch_density coefficients and fourier_entropy (binned
+    entropy of the max-normalized PSD), grouped by exact window length."""
+    k = mat.shape[0]
+    for f in feats:
+        out[f] = np.full(k, np.nan)
+    for cnt in np.unique(counts):
+        sel = np.nonzero(counts == cnt)[0]
+        if int(cnt) < 1:
+            continue
+        pxx = welch_psd_rows(mat[sel, : int(cnt)])
+        nb = pxx.shape[1]
+        if nb == 0:
+            continue
+        mx = pxx.max(axis=1, keepdims=True)
+        norm = np.where(mx > 0, pxx / mx, pxx)
+        for f in feats:
+            if f.startswith("spkt_welch_coeff_"):
+                c = int(f.removeprefix("spkt_welch_coeff_"))
+                if c < nb:
+                    out[f][sel] = pxx[:, c]
+            else:
+                bins = int(f.removeprefix("fourier_entropy_"))
+                out[f][sel] = _binned_entropy(
+                    norm, np.full(len(sel), nb), bins
+                )
 
 
 def _agg_autocorr(

@@ -385,34 +385,6 @@ def _max_langevin(coef: np.ndarray) -> float:
     return float(real.max()) if real.size else np.nan
 
 
-def _hann_periodic(m: int) -> np.ndarray:
-    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(m) / m)
-
-
-def _welch(x: np.ndarray) -> np.ndarray:
-    """scipy.signal.welch defaults: fs=1, periodic hann, nperseg =
-    min(256, n), 50% overlap, constant detrend per segment, density
-    scaling, mean average. Returns the one-sided PSD."""
-    n = len(x)
-    nper = min(256, n)
-    if nper < 1:
-        return np.array([])
-    step = nper - nper // 2
-    starts = np.arange(0, n - nper + 1, step)
-    if len(starts) == 0:
-        starts = np.array([0])
-    segs = np.stack([x[s : s + nper] for s in starts])
-    segs = segs - segs.mean(axis=1, keepdims=True)
-    w = _hann_periodic(nper)
-    spec = np.fft.rfft(segs * w[None, :], axis=1)
-    scale = 1.0 / (w * w).sum()
-    pxx = (spec.real**2 + spec.imag**2) * scale
-    pxx[:, 1:] *= 2.0
-    if nper % 2 == 0:
-        pxx[:, -1] /= 2.0
-    return pxx.mean(axis=0)
-
-
 def _ricker(points: int, a: float) -> np.ndarray:
     A = 2.0 / (np.sqrt(3.0 * a) * np.pi**0.25)
     vec = np.arange(points) - (points - 1.0) / 2.0
@@ -664,18 +636,21 @@ def _fft_block(out, sub, sel, cnt):
 
 
 def _welch_block(out, sub, sel, cnt):
-    for j, row_idx in enumerate(sel):
-        pxx = _welch(sub[j])
-        for c in (2, 5, 8):
-            if c < len(pxx):
-                out[f"spkt_welch_coeff_{c}"][row_idx] = pxx[c]
-        if len(pxx):
-            norm = pxx / pxx.max() if pxx.max() > 0 else pxx
-            m = norm[None, :]
-            for b in _ENT_BINS:
-                out[f"fourier_entropy_b{b}"][row_idx] = _binned_entropy(
-                    m, np.array([len(norm)]), b
-                )[0]
+    from .kernels import welch_psd_rows
+
+    pxx = welch_psd_rows(sub)
+    nb = pxx.shape[1]
+    if nb == 0:
+        return
+    for c in (2, 5, 8):
+        if c < nb:
+            out[f"spkt_welch_coeff_{c}"][sel] = pxx[:, c]
+    mx = pxx.max(axis=1, keepdims=True)
+    norm = np.where(mx > 0, pxx / mx, pxx)
+    for b in _ENT_BINS:
+        out[f"fourier_entropy_b{b}"][sel] = _binned_entropy(
+            norm, np.full(len(sel), nb), b
+        )
 
 
 def _cwt_block(out, sub, sel, cnt):

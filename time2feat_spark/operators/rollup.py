@@ -389,7 +389,7 @@ def rollup_points(
     val_col: str,
     cfg: RollupConfig | None = None,
     num_partitions: int | None = None,
-    rows_per_task: int = 2_000_000,
+    bytes_per_task: int = 256 << 20,
     flush_rows: int = 65_536,
 ) -> DataFrame:
     """Tier-ladder rollup over long-format points.
@@ -398,8 +398,9 @@ def rollup_points(
     any task must hold for a hot key (skew relief) while windows of every
     tier nest inside the chunk, so holistic stats stay exact.
 
-    Scale posture (100 TB): the shuffle partition count is sized from a
-    cheap count pre-pass (`rows_per_task`) rather than the static
+    Scale posture (100 TB): the shuffle partition count is sized from the
+    optimizer's scan-size statistics (`bytes_per_task`, no extra pass —
+    file-listing stats Catalyst already has) rather than the static
     `spark.sql.shuffle.partitions`, and the kernel stage streams — rows
     are sorted within partitions by group key, so completed (key, chunk)
     groups flush as soon as a later group appears in the Arrow stream.
@@ -435,8 +436,17 @@ def rollup_points(
         default_p = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        n_rows = df.select(*key_cols, ts_col).count()
-        num_partitions = max(default_p, -(-n_rows // rows_per_task))
+        try:
+            size_bytes = int(
+                chunked._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+                .toString()
+            )
+        except Exception:
+            size_bytes = 0
+        num_partitions = max(default_p, -(-size_bytes // bytes_per_task))
     group_cols = key_cols + ["_chunk"]
     parted = chunked.repartition(num_partitions, *group_cols)
     parted = parted.sortWithinPartitions(*group_cols)

@@ -40,6 +40,21 @@ def rank_features(
     if mode == "pvalue":
         fp = anova_p_values(df, cols, label_col)
         return sorted(cols, key=lambda c: (fp[c][1], -fp[c][0], c))[:top_k]
+    if mode in ("tsfresh", "multi"):
+        # Mann-Whitney relevance p-values (importance_old 'tsfresh' uses
+        # the binary table, 'multi' the per-class mean)
+        from .selection import relevance_p_values
+
+        ps = relevance_p_values(
+            df, cols, label_col, multiclass=(mode == "multi")
+        )
+        ranked = sorted(cols, key=lambda c: (ps[c], c))
+        return ranked[:top_k]
+    if mode == "none":
+        # variance-threshold only (importance_old 'none' strategy)
+        from .selection import clean_features as _cf
+
+        return _cf(df, cols)[:top_k]
     if mode == "domain":
         scores = anova_f_scores(df, cols, label_col)
         fams: dict[str, list[str]] = {}

@@ -97,6 +97,78 @@ def anova_p_values(
     return {c: (float(fs[i]), float(ps[i])) for i, c in enumerate(cols)}
 
 
+def _rank_avg(col):
+    """Average ranks with tie handling (scipy.stats.rankdata 'average')."""
+    import numpy as np
+
+    order = np.argsort(col, kind="mergesort")
+    ranks = np.empty(len(col), dtype=np.float64)
+    sorted_vals = col[order]
+    # tie groups -> average rank
+    i = 0
+    n = len(col)
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def mann_whitney_p(x, in_class) -> float:
+    """Two-sided Mann-Whitney U p-value, normal approximation with tie
+    and continuity corrections (the scipy.stats.mannwhitneyu formulas
+    tsfresh's relevance table uses for real feature / binary target)."""
+    import math
+
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    in_class = np.asarray(in_class, dtype=bool)
+    n1 = int(in_class.sum())
+    n2 = len(x) - n1
+    if n1 == 0 or n2 == 0:
+        return float("nan")
+    ranks = _rank_avg(x)
+    r1 = ranks[in_class].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    n = n1 + n2
+    _, t = np.unique(x, return_counts=True)
+    tie = (t**3 - t).sum() / (n * (n - 1)) if n > 1 else 0.0
+    s2 = n1 * n2 / 12.0 * ((n + 1) - tie)
+    if s2 <= 0:
+        return 1.0
+    z = (abs(u1 - mu) - 0.5) / math.sqrt(s2)
+    return float(min(1.0, math.erfc(z / math.sqrt(2.0))))
+
+
+def relevance_p_values(
+    df: DataFrame, cols: list[str], label_col: str, multiclass: bool = False
+) -> dict[str, float]:
+    """tsfresh-relevance-table style p-values (reference 'tsfresh' /
+    'multi' strategies, t2f/utils/importance_old.py:60-73): Mann-Whitney
+    U per (feature, class-vs-rest); multiclass=True averages the per-
+    class p-values (the reference's p_value-columns mean). The labeled
+    slice is collected driver-side — partial supervision keeps it small
+    by construction (SURVEY.md §4 O8)."""
+    import numpy as np
+
+    pdf = df.select(label_col, *cols).toPandas()
+    y = pdf[label_col].to_numpy()
+    classes = sorted(set(y))
+    out: dict[str, float] = {}
+    for c in cols:
+        x = pdf[c].to_numpy(dtype=np.float64)
+        if multiclass:
+            ps = [mann_whitney_p(x, y == cls) for cls in classes]
+            out[c] = float(np.nanmean(ps))
+        else:
+            out[c] = mann_whitney_p(x, y == classes[0])
+    return out
+
+
 def top_k_features(
     df: DataFrame, cols: list[str], label_col: str, k: int
 ) -> list[str]:
