@@ -941,6 +941,19 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, k=10)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (coarse k-means quantizer + nprobe probing)
+    — the clustered-corpus ANN scale path; rows-only (approximate by
+    construction; recall proven on clustered data in
+    tests/test_similarity.py::test_ivf_topk_recall_on_clustered_corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_train_centroids(emb, n_cells=16)
+    return S.ivf_topk(emb, queries, cents, k=10, nprobe=8)
+
+
 def q_ladder_full(spark, sf_dir):
     """Full sequences ladder with Gorilla compression — the flagship
     (rows-only: binary blocks have no SQL equivalent)."""
@@ -1354,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "ladder_full": q_ladder_full,
         "ladder_tier_counts": q_ladder_tier_counts,
         "anova_f": q_anova_f,

@@ -102,3 +102,38 @@ def test_lsh_topk_finds_planted_neighbor_first(spark, planted):
     for qid, top in by_q.items():
         assert top[0] == qid  # self
         assert top[1] == src_of[int(qid)], f"query {qid}: top2={top}"
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """IVF with a coarse quantizer is the clustered-corpus scale path:
+    on 8 well-separated Gaussian clusters, probing 4/16 cells must reach
+    >=0.9 recall@10 vs brute force while scanning a fraction of rows."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 4.0
+    X = np.vstack([c + rng.standard_normal((150, 64)) for c in centers])
+    ids = np.arange(len(X))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(X.astype(np.float32))})
+    sdf = spark.createDataFrame(pdf)
+    queries = sdf.where(F.col("vec_id").isin([3, 200, 777])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_train_centroids(sdf, n_cells=16, seed=7)
+    got = S.ivf_topk(sdf, queries, cents, k=10, nprobe=4)
+    bf = S.brute_force_topk(sdf, queries, k=10)
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    b = {(r.query_id, r.vec_id) for r in bf.collect()}
+    assert len(g) == 30
+    assert len(g & b) >= 27, f"IVF recall {len(g & b)}/30"
+
+
+def test_ivf_topk_runs_on_testdata(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_train_centroids(emb, n_cells=16)
+    out = S.ivf_topk(emb, q, cents, k=10, nprobe=8).toPandas()
+    assert len(out) == 30
+    # self-match always survives: its cell is always probed first
+    self_rows = out[out.query_id == out.vec_id]
+    assert len(self_rows) == 3 and (self_rows["rank"] == 1).all()

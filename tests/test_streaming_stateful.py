@@ -1,0 +1,102 @@
+"""applyInPandasWithState sessionization: a real readStream through the
+arbitrary-state operator, compared against the batch sessionize rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from time2feat_spark.operators.asof import sessionize
+from time2feat_spark.streaming.stateful import streaming_sessionize
+
+GAP_S = 60
+
+
+def _events(seed=3, n=400):
+    rng = np.random.default_rng(seed)
+    # clumpy inter-arrival times so gaps > 60 s actually occur
+    gaps = np.where(
+        rng.uniform(size=n) < 0.1,
+        rng.integers(90_000, 400_000, n),
+        rng.integers(100, 20_000, n),
+    )
+    base = pd.Timestamp("2024-01-01").value // 10**6
+    out = []
+    for key in ("a", "b"):
+        ts = base + np.cumsum(gaps)
+        out.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "ts": pd.to_datetime(ts, unit="ms"),
+                    "value": np.round(rng.uniform(0, 10, n), 2),
+                }
+            )
+        )
+        gaps = gaps[::-1]
+    return pd.concat(out, ignore_index=True)
+
+
+def test_streaming_sessionize_matches_batch_rule(spark, tmp_path):
+    pdf = _events()
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1): batch 2's
+    # watermark fires the event-time timeouts of batch 1's idle keys
+    half = pd.Timestamp("2024-01-01 01:00:00")
+    spark.createDataFrame(pdf[pdf.ts < half]).coalesce(1).write.parquet(
+        src + "/p1"
+    )
+    spark.createDataFrame(pdf[pdf.ts >= half]).coalesce(1).write.parquet(
+        src + "/p2"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/p1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_sessionize(stream, "key", "ts", "value", GAP_S)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions_out").toPandas()
+    assert len(got) > 0
+
+    # batch truth: same gap rule via the batch operator
+    want = (
+        sessionize(spark.createDataFrame(pdf), ["key"], "ts", GAP_S)
+        .groupBy("key", "session_id")
+        .agg(
+            F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("start_ms"),
+            F.unix_millis(F.max(F.col("ts").cast("timestamp"))).alias("end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+    want_set = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in want.itertuples(index=False)
+    }
+    for r in got.itertuples(index=False):
+        assert (
+            r.key, r.session_start_ms, r.session_end_ms, r.n_events
+        ) in want_set, f"streamed session not in batch truth: {r}"
+    # every batch session that ENDED well before the final watermark must
+    # have been emitted (gap-closed or timed out)
+    max_ts = int(pdf.ts.astype("datetime64[ms]").astype("int64").max())
+    expected_closed = {
+        t for t in want_set if t[2] + GAP_S * 1000 < max_ts - 600_000
+    }
+    got_set = {
+        (r.key, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in got.itertuples(index=False)
+    }
+    missing = expected_closed - got_set
+    assert not missing, f"{len(missing)} closed sessions never emitted"

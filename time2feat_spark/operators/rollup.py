@@ -414,6 +414,10 @@ def rollup_points(
     key_fields = [df.schema[c] for c in key_cols]
     schema = points_flat_schema(cfg, key_fields)
 
+    # project FIRST: only the grouping keys, timestamp, and value reach
+    # the scan/shuffle (without this the exchange would carry every
+    # column of the source — e.g. events.props — through the shuffle)
+    df = df.select(*key_cols, ts_col, val_col)
     # null/NaN points carry no information for any statistic — drop them
     # scan-side (predicate pushdown) so kernels see only real samples
     df = df.where(

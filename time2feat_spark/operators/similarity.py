@@ -181,6 +181,92 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means centroids trained on a bounded
+    sample collected driver-side (SURVEY.md §4 O8 posture — the centroid
+    table is tiny and the sample is capped regardless of corpus size;
+    at 100 TB this is a Spark sample + collect of `sample_rows` rows)."""
+    from .clustering import kmeans
+
+    frac_df = corpus.select(vec_col)
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=sample_rows / n, seed=seed)
+    sample = np.vstack(
+        [np.asarray(r[0], dtype=np.float64) for r in frac_df.collect()]
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centers, _ = kmeans(sample, min(n_cells, len(sample)), seed=seed, n_init=3)
+    return centers
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: nprobe nearest centroid ids per vector (one matmul
+    per Arrow batch — scan-side, no shuffle, no per-row Python)."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    cell; each query probes its `nprobe` nearest cells; exact cosine
+    re-ranks the probed union. Scan cost ~ nprobe/n_cells of the corpus
+    on clustered data — the standard sublinear ANN layout (at rest the
+    corpus would be WRITTEN partitioned by cell, making the probe a
+    partition-pruned read instead of a filter)."""
+    assign1 = _cell_assign_udf(centroids, 1)
+    assignp = _cell_assign_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.explode(assignp(F.col(vec_col))).alias("cell"),
+        )
+    )
+    cand = (
+        c.join(q, "cell")
+        .withColumn(
+            "cos_sim",
+            round2(cosine(F.col("_cvec"), F.col("_qvec")).cast("double"), 9, 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

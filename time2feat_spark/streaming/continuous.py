@@ -69,9 +69,11 @@ class ContinuousRollup:
         self.coarsest_ms = max(sec for _, sec in self.cfg.tiers) * 1000
 
     def _with_chunk(self, df: DataFrame) -> DataFrame:
+        # F.floor, not a truncating cast: floors toward -inf like the
+        # kernel-side window ids (pre-1970 timestamps)
         return df.withColumn(
             "_stage_chunk",
-            (
+            F.floor(
                 F.unix_millis(F.col(self.ts_col).cast("timestamp"))
                 / F.lit(self.coarsest_ms)
             ).cast("long"),

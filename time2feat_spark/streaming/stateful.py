@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+`streaming_sessionize` is the canonical arbitrary-state operator the
+built-in streaming aggregations can't express: gap-based sessions whose
+CLOSE depends on what does NOT arrive. Per key, the open session lives
+in the state store; sessions close either when a later event in the
+same micro-batch exceeds the gap (emitted immediately) or when the
+event-time watermark passes session_end + gap (event-time timeout).
+
+Batch parity: the same gap rule as operators/asof.py::sessionize — a
+closed session here equals one session group there (verified in
+tests/test_streaming_stateful.py against the batch operator).
+
+Scale posture: state is one tiny tuple per ACTIVE key (not per event);
+the shuffle is the standard streaming groupBy(key) exchange; Arrow
+batches stream through the Python worker without materializing a
+partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_v", DoubleType()),
+        StructField("closed_by", StringType()),  # gap | timeout
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    gap_seconds: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions over a stream; emits one row per CLOSED
+    session (append mode). The open session per key persists in the
+    state store with an event-time timeout at end + gap."""
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "session_start_ms": start,
+                        "session_end_ms": end,
+                        "n_events": n,
+                        "sum_v": s,
+                        "closed_by": "timeout",
+                    }
+                ]
+            )
+            return
+
+        rows = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                rows.append(pdf[[ts_col, val_col]])
+        if not rows:
+            return
+        ev = pd.concat(rows, ignore_index=True).sort_values(ts_col)
+        ts_ms = (
+            ev[ts_col].astype("datetime64[ms]").astype("int64").to_numpy()
+        )
+        vals = ev[val_col].to_numpy()
+
+        if state.exists:
+            start, end, n, s = state.get
+        else:
+            start, end, n, s = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
+        closed = []
+        for t, v in zip(ts_ms, vals):
+            t = int(t)
+            if n > 0 and t - end > gap_ms:
+                closed.append((key[0], start, end, n, s, "gap"))
+                start, n, s = t, 0, 0.0
+            end = max(end, t)
+            n += 1
+            s += float(v)
+        state.update((start, end, n, s))
+        state.setTimeoutTimestamp(end + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "key", "session_start_ms", "session_end_ms",
+                    "n_events", "sum_v", "closed_by",
+                ],
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
