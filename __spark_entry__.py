@@ -1189,6 +1189,20 @@ def q_audio_frames_stub(spark, sf_dir):
     return audio_frame_stats(d)
 
 
+def q_video_frames_stub(spark, sf_dir):
+    from time2feat_spark.operators.multimodal import video_frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    out = video_frame_sample(d, every_k=2, max_frames=4)
+    return out.select(
+        "doc_id", "frame_idx",
+        _r4(F.col("mean_px")).alias("mean_px"),
+        _r4(F.col("std_px")).alias("std_px"),
+    )
+
+
 
 
 def q_rollup_1d_nonlinear(spark, sf_dir):
@@ -1377,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_features_stub": q_image_features_stub,
         "audio_frames_stub": q_audio_frames_stub,
+        "video_frames_stub": q_video_frames_stub,
     }
 
 

@@ -129,3 +129,18 @@ def test_audio_frame_stats_stub(spark):
     assert set(out.columns) == {"doc_id", "frame", "rms"}
     assert (out.groupby("doc_id").frame.count() >= 1).all()
     assert ((out.rms >= 0) & (out.rms <= 1.2)).all()
+
+
+def test_video_frame_sample_stub(spark):
+    from time2feat_spark.operators.multimodal import video_frame_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": ["a", "b"], "media": [b"\x00" * 50_000, b"\x01" * 200_000]}
+    )
+    out = video_frame_sample(spark.createDataFrame(pdf)).toPandas()
+    assert set(out.columns) == {"doc_id", "frame_idx", "mean_px", "std_px"}
+    per_doc = out.groupby("doc_id").frame_idx.agg(["count", "max"])
+    # 50kB ~ 12 pseudo-frames -> ceil(12/10)=2 sampled; 200kB -> 5
+    assert per_doc.loc["a", "count"] == 2 and per_doc.loc["b", "count"] == 5
+    assert (out.frame_idx % 10 == 0).all()
+    assert out.mean_px.between(0, 255).all()

@@ -147,6 +147,64 @@ def image_features(
     return _with_media_digest(df, blob_col, id_col).mapInPandas(run, schema)
 
 
+def video_frame_sample(
+    df: DataFrame,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    every_k: int = 10,
+    max_frames: int = 8,
+    thumb: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame-sample a video (every k-th frame, capped) -> per-sampled-
+    frame thumbnail stats. The decode is the same stubbed splitmix64
+    stream (a real codec — ffmpeg — would replace `_fake_decode_matrix`
+    with keyframe extraction; the Spark plumbing, ragged frame expansion
+    and batch shapes are real). One row per (doc, frame_idx)."""
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_idx", IntegerType()),
+            StructField("mean_px", DoubleType()),
+            StructField("std_px", DoubleType()),
+        ]
+    )
+    n_px = thumb * thumb
+    # pseudo frame count: one frame per 4KB of media, like a ~30fps clip
+    bytes_per_frame = 4096
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video decode requires a codec (ffmpeg)"
+                )
+            nb = pdf["_nb"].to_numpy()
+            seeds = pdf["_seed"].to_numpy().astype(np.uint64)
+            total_frames = np.maximum(nb // bytes_per_frame, 1)
+            n_sampled = np.minimum(
+                (total_frames + every_k - 1) // every_k, max_frames
+            ).astype(np.int64)
+            doc_of = np.repeat(np.arange(len(pdf)), n_sampled)
+            offs = np.concatenate(([0], np.cumsum(n_sampled)[:-1]))
+            local = np.arange(len(doc_of)) - np.repeat(offs, n_sampled)
+            frame_idx = (local * every_k).astype(np.int64)
+            frame_seeds = seeds[doc_of] + frame_idx.astype(np.uint64)
+            px = _fake_decode_matrix(frame_seeds, n_px).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[doc_of],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "mean_px": px.mean(axis=1),
+                    "std_px": px.std(axis=1),
+                }
+            )
+
+    return _with_media_digest(df, blob_col, id_col).mapInPandas(run, schema)
+
+
 def audio_frame_stats(
     df: DataFrame,
     blob_col: str = "media",
