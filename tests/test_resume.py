@@ -151,5 +151,5 @@ def test_salted_write_spreads_hot_source(spark, tmp_path):
     _write_input(spark, inp, 600)
     out = str(tmp_path / "out")
     LadderJob(spark, inp, out, CFG, rows_per_task=50).run()
-    hot_files = glob.glob(f"{out}/source=src_0/tier=1m/part-*.parquet")
+    hot_files = glob.glob(f"{out}/source=src_0/tier=1m/window_day=*/part-*.parquet")
     assert len(hot_files) >= 3, f"expected salted parallel files, got {len(hot_files)}"

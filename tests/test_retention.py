@@ -1,0 +1,86 @@
+"""Retention-policy enforcement (north_rule: rollup + downsample +
+RETENTION): tier partitions expire by age via pure directory/partition
+drops — finer tiers die young, coarser tiers live long."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from time2feat_spark.generator import gen_pandas
+from time2feat_spark.operators.rollup import RollupConfig, T0_MS
+from time2feat_spark.plans.checkpoint import Manifest
+from time2feat_spark.plans.ladder_job import LadderJob
+from time2feat_spark.plans.retention import (
+    MS_PER_DAY,
+    RetentionPolicy,
+    enforce_retention,
+)
+
+# 10-minute ticks spread each ~1056-token doc across ~7.3 days
+CFG = RollupConfig(tiers=[("1h", 3600), ("1d", 86400)], include_raw=False,
+                   tick_ms=600_000, features=["variance", "median"])
+
+
+@pytest.fixture(scope="module")
+def laddered(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ret")
+    inp = str(tmp / "seq")
+    spark.createDataFrame(gen_pandas(0, 60)).write.parquet(inp)
+    out = str(tmp / "out")
+    LadderJob(spark, inp, out, CFG).run()
+    return out
+
+
+def test_retention_drops_only_expired_tier_partitions(spark, laddered):
+    out = laddered
+    days = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(f"{out}/source=*/tier=1h/window_day=*")
+    )
+    assert days[-1] - days[0] >= 6  # data really spans about a week
+    now_ms = (days[-1] + 1) * MS_PER_DAY
+    # keep 1h for 3 days, 1d forever
+    policy = RetentionPolicy({"1h": 3, "1d": None})
+    before_1d = len(glob.glob(f"{out}/source=*/tier=1d/window_day=*"))
+    res = enforce_retention(out, policy, now_ms)
+    assert res["dropped"]  # old 1h partitions gone
+    left = sorted(
+        {
+            int(d.rsplit("=", 1)[1])
+            for d in glob.glob(f"{out}/source=*/tier=1h/window_day=*")
+        }
+    )
+    cutoff = now_ms // MS_PER_DAY - 3
+    assert left and all(d >= cutoff for d in left)
+    # the 1d tier is untouched (None = forever)
+    assert len(glob.glob(f"{out}/source=*/tier=1d/window_day=*")) == before_1d
+
+    # the surviving table is readable and only holds recent 1h windows
+    df = spark.read.option("basePath", out).parquet(out)
+    mx = df.where("tier = '1h'").agg(
+        F.min("window_day").alias("lo")
+    ).first()
+    assert mx.lo >= cutoff
+
+    # idempotent: a second pass drops nothing
+    res2 = enforce_retention(out, policy, now_ms)
+    assert not res2["dropped"]
+
+    # lineage: the manifest records the retention action
+    recs = Manifest(out).records()
+    assert any(r.status == "retention" for r in recs)
+    # and resume bookkeeping ignores retention records
+    assert "retention" not in Manifest(out).dangling_units()
+
+
+def test_default_policy_tiers():
+    p = RetentionPolicy()
+    now = 1_000 * MS_PER_DAY
+    assert p.cutoff_day("raw", now) == 993
+    assert p.cutoff_day("1m", now) == 910
+    assert p.cutoff_day("1d", now) is None
+    assert p.cutoff_day("unknown_tier", now) is None  # default: keep

@@ -110,8 +110,18 @@ class LadderJob:
                 part.repartition(salt_k, F.pmod(F.xxhash64("doc_id"), F.lit(salt_k))),
                 self.cfg,
             )
-            out = assemble(flat, self.cfg).drop("source")
-            out.write.mode(mode).partitionBy("tier").parquet(
+            # window_day partition level makes retention a directory/
+            # Iceberg-partition DROP instead of a data rewrite
+            out = (
+                assemble(flat, self.cfg)
+                .drop("source")
+                .withColumn(
+                    "window_day",
+                    F.floor(F.unix_millis("window_start") / F.lit(86_400_000))
+                    .cast("long"),
+                )
+            )
+            out.write.mode(mode).partitionBy("tier", "window_day").parquet(
                 f"{self.out_root}/source={source}"
             )
             stats = self.spark.read.parquet(
