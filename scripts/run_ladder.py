@@ -19,6 +19,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# local runs: the package sits next to scripts/; on a cluster
+# --py-files t2f_spark.zip makes this a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -28,6 +34,13 @@ def main() -> None:
     p.add_argument("--incremental", action="store_true")
     p.add_argument("--rows-per-task", type=int, default=200_000)
     p.add_argument("--max-units", type=int, default=None)
+    p.add_argument(
+        "--retention",
+        default=None,
+        help="per-tier max-age days as tier=days[,tier=days...]; 'forever' "
+        "keeps a tier indefinitely (e.g. raw=7,1m=90,1h=730,1d=forever). "
+        "Enforced after the run as pure window_day partition drops.",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,6 +52,21 @@ def main() -> None:
         spark, args.input, args.output, rows_per_task=args.rows_per_task
     )
     res = job.run(incremental=args.incremental, max_units=args.max_units)
+    if args.retention:
+        import time
+
+        from time2feat_spark.plans.retention import (
+            RetentionPolicy,
+            enforce_retention,
+        )
+
+        ages: dict = {}
+        for part in args.retention.split(","):
+            tier, days = part.split("=")
+            ages[tier] = None if days == "forever" else int(days)
+        res["retention"] = enforce_retention(
+            args.output, RetentionPolicy(ages), int(time.time() * 1000)
+        )
     print(json.dumps(res))
 
 
