@@ -967,6 +967,34 @@ def q_ladder_full(spark, sf_dir):
     )
 
 
+def q_ladder_decode_roundtrip(spark, sf_dir):
+    """Compress -> decode roundtrip as a VALUE-exact oracle row: the 1h
+    tier's Gorilla blocks for the first 100 docs, decoded back to points
+    via the batched SIMD-across-blocks decoder, must equal the original
+    token stream (t0 + k*tick, token value) that plain SQL reproduces."""
+    from time2feat_spark.operators.rollup import tier_points
+
+    seq = _sequences(spark, sf_dir).where(F.col("doc_id") < "doc_00000100")
+    cfg = RollupConfig(tiers=[("1h", 3600)], include_raw=False,
+                       compress=True, features=[])
+    flat = rollup_sequences(seq, cfg)
+    pts = tier_points(flat, ["doc_id"])
+    return pts.select(
+        "doc_id", "ts_ms", F.col("value").cast("long").alias("token")
+    )
+
+
+def sql_ladder_decode_roundtrip(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    return f"""
+WITH pts AS ({_SEQ_SQL.format(path=path)})
+SELECT doc_id,
+       1704067200000 + k * 1000 AS ts_ms,
+       CAST(v AS BIGINT) AS token
+FROM pts WHERE doc_id < 'doc_00000100'
+"""
+
+
 def q_ladder_tier_counts(spark, sf_dir):
     """Oracle-able projection of the ladder: windows/points per tier
     (the gorilla byte columns stay in the rows-only ladder_full)."""
@@ -1384,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ladder_full": q_ladder_full,
         "ladder_tier_counts": q_ladder_tier_counts,
+        "ladder_decode_roundtrip": q_ladder_decode_roundtrip,
         "anova_f": q_anova_f,
         "anova_pvalue_rank": q_anova_pvalue_rank,
         "pair_distances": q_pair_distances,
@@ -1437,4 +1466,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": SQL_WINNOWING,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ladder_tier_counts": sql_ladder_tier_counts("sf0.01"),
+        "ladder_decode_roundtrip": sql_ladder_decode_roundtrip("sf0.01"),
     }

@@ -112,3 +112,52 @@ def test_ts_roundtrip_property(deltas):
 )
 def test_val_roundtrip_property(vals):
     _roundtrip_vals(np.array(vals, dtype=np.float64))
+
+
+def test_batched_decoders_match_sequential_and_truth():
+    """decode_{ts,val}_blocks (SIMD-across-blocks) == the per-bit
+    reference decoders == the original data, over ragged blocks with
+    constants, NaNs, and every dod bucket incl. the 64-bit escape."""
+    from time2feat_spark.functions.gorilla import (
+        decode_ts_block,
+        decode_ts_blocks,
+        decode_val_block,
+        decode_val_blocks,
+        encode_ts_blocks,
+        encode_val_blocks,
+    )
+
+    rng = np.random.default_rng(11)
+    blocks_v, blocks_t, counts, truth_v, truth_t = [], [], [], [], []
+    for i in range(120):
+        n = int(rng.integers(1, 300))
+        if i % 6 == 0:
+            v = np.full(n, -7.5)
+        elif i % 6 == 1:
+            v = rng.standard_normal(n)
+            v[::4] = np.nan
+        else:
+            v = np.cumsum(rng.standard_normal(n)) * 100
+        t0 = int(rng.integers(-(10**12), 10**12))
+        steps = rng.choice(
+            [0, 1, 64, 65, -63, -64, 256, 257, 2048, 2049, 10**7, -(10**10)],
+            size=max(n - 1, 0),
+        )
+        t = np.concatenate(([t0], t0 + np.cumsum(steps))).astype(np.int64)[:n]
+        offs = np.array([0, n])
+        blocks_v.append(encode_val_blocks(v, offs)[0])
+        blocks_t.append(encode_ts_blocks(t, offs)[0])
+        counts.append(n)
+        truth_v.append(v)
+        truth_t.append(t)
+    counts = np.array(counts)
+    mv = decode_val_blocks(blocks_v, counts)
+    mt = decode_ts_blocks(blocks_t, counts)
+    for i, n in enumerate(counts):
+        g, w = mv[i, :n], truth_v[i]
+        assert ((np.isnan(g) & np.isnan(w)) | (g == w)).all(), f"val {i}"
+        assert (mt[i, :n] == truth_t[i]).all(), f"ts {i}"
+        if i % 17 == 0:
+            sv = decode_val_block(blocks_v[i], int(n))
+            assert ((np.isnan(sv) & np.isnan(w)) | (sv == w)).all()
+            assert (decode_ts_block(blocks_t[i], int(n)) == truth_t[i]).all()

@@ -44,6 +44,8 @@ __all__ = [
     "encode_val_blocks",
     "decode_ts_block",
     "decode_val_block",
+    "decode_ts_blocks",
+    "decode_val_blocks",
 ]
 
 _U64 = np.uint64
@@ -339,3 +341,114 @@ def decode_val_block(data: bytes, count: int) -> np.ndarray:
             trail = 64 - lead - mlen
             vb[i] = vb[i - 1] ^ (np.uint64(meaningful) << np.uint64(trail))
     return vb.view(np.float64)
+
+
+# --------------------------------------------------------------- batched
+# SIMD-across-blocks decoders: one Python step per VALUE INDEX advances
+# every still-open block by one point with pure uint64 vector arithmetic
+# (the per-block codes are sequential by nature — the cross-block axis is
+# where the parallelism is). Used by point reads over tier tables; the
+# per-bit readers above stay as the independent verification oracle.
+
+def _blocks_to_words(blocks: list[bytes]) -> np.ndarray:
+    """(B, W) native-endian uint64 words, big-endian bit order within the
+    stream, + guard words so any in-bounds 64-bit window read is safe."""
+    b_count = len(blocks)
+    nbytes = np.fromiter((len(b) for b in blocks), np.int64, count=b_count)
+    max_b = int(nbytes.max()) if b_count else 0
+    w = -(-max_b // 8) + 3  # +2 guard words beyond any block's end
+    joined = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(nbytes)))
+    col = np.arange(w * 8)
+    mask = col[None, :] < nbytes[:, None]
+    idx = offs[:-1, None] + np.where(mask, col[None, :], 0)
+    buf = np.where(mask, joined[idx] if len(joined) else 0, 0).astype(np.uint8)
+    return buf.reshape(b_count, w, 8).view(">u8")[:, :, 0].astype(np.uint64)
+
+
+def _window64(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """The 64 bits starting at bit offset `pos` of each block."""
+    wi = (pos >> _U64(6)).astype(np.int64)
+    sh = pos & _U64(63)
+    rows = np.arange(len(words))
+    w0 = words[rows, wi]
+    w1 = words[rows, wi + 1]
+    right = np.where(sh > 0, w1 >> ((_U64(64) - sh) & _U64(63)), _U64(0))
+    return (w0 << sh) | right
+
+
+def decode_val_blocks(blocks: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Decode B value blocks at once -> (B, max_count) float64 matrix,
+    NaN-padded past each block's count."""
+    counts = np.asarray(counts, dtype=np.int64)
+    b_count = len(blocks)
+    maxc = int(counts.max()) if b_count else 0
+    out = np.full((b_count, maxc), np.nan)
+    if not b_count or maxc == 0:
+        return out
+    words = _blocks_to_words(blocks)
+    prev = words[:, 0]
+    out[:, 0] = prev.view(np.float64)
+    pos = np.full(b_count, 64, dtype=np.uint64)
+    for i in range(1, maxc):
+        act = counts > i
+        reg = _window64(words, pos)
+        is_xor = (reg >> _U64(63)).astype(bool)
+        lead = (reg >> _U64(57)) & _U64(31)
+        m6 = (reg >> _U64(51)) & _U64(63)
+        mlen = np.where(m6 == 0, _U64(64), m6)
+        meaningful = _window64(words, pos + _U64(13)) >> (
+            (_U64(64) - mlen) & _U64(63)
+        )
+        trail = _U64(64) - lead - mlen
+        nxt = np.where(is_xor, prev ^ (meaningful << trail), prev)
+        prev = np.where(act, nxt, prev)
+        vals = prev.view(np.float64)
+        out[act, i] = vals[act]
+        consumed = np.where(is_xor, _U64(13) + mlen, _U64(1))
+        pos += np.where(act, consumed, _U64(0))
+    return out
+
+
+def decode_ts_blocks(blocks: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Decode B timestamp blocks at once -> (B, max_count) int64 matrix
+    (padding cells hold 0 past each block's count)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    b_count = len(blocks)
+    maxc = int(counts.max()) if b_count else 0
+    out = np.zeros((b_count, maxc), dtype=np.int64)
+    if not b_count or maxc == 0:
+        return out
+    words = _blocks_to_words(blocks)
+    prev = words[:, 0].view(np.int64).copy()
+    out[:, 0] = prev
+    delta = np.zeros(b_count, dtype=np.int64)
+    pos = np.full(b_count, 64, dtype=np.uint64)
+    for i in range(1, maxc):
+        act = counts > i
+        reg = _window64(words, pos)
+        b0 = (reg >> _U64(63)) & _U64(1)
+        b1 = (reg >> _U64(62)) & _U64(1)
+        b2 = (reg >> _U64(61)) & _U64(1)
+        b3 = (reg >> _U64(60)) & _U64(1)
+        p7 = ((reg >> _U64(55)) & _U64(0x7F)).astype(np.int64) - 63
+        p9 = ((reg >> _U64(52)) & _U64(0x1FF)).astype(np.int64) - 255
+        p12 = ((reg >> _U64(48)) & _U64(0xFFF)).astype(np.int64) - 2047
+        p64 = _window64(words, pos + _U64(4)).view(np.int64)
+        dod = np.where(
+            b0 == 0, 0,
+            np.where(b1 == 0, p7,
+                     np.where(b2 == 0, p9,
+                              np.where(b3 == 0, p12, p64))),
+        )
+        consumed = np.where(
+            b0 == 0, 1,
+            np.where(b1 == 0, 9,
+                     np.where(b2 == 0, 12,
+                              np.where(b3 == 0, 16, 68))),
+        ).astype(np.uint64)
+        delta = np.where(act, delta + dod, delta)
+        prev = np.where(act, prev + delta, prev)
+        out[act, i] = prev[act]
+        pos += np.where(act, consumed, _U64(0))
+    return out

@@ -264,6 +264,52 @@ def assemble(flat_df: DataFrame, cfg: RollupConfig | None = None) -> DataFrame:
     )
 
 
+def tier_points(
+    tier_df: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Decode a (flat) tier frame's Gorilla blocks back into points —
+    the read path of the compressed tier tables. Uses the batched
+    SIMD-across-blocks decoders (functions/gorilla.py): one vectorized
+    step per value index advances EVERY block in the Arrow batch, so
+    decode cost is O(points) numpy work, not per-bit Python.
+    Output: key cols + tier + (ts_ms, value) per point."""
+    key_cols = key_cols if key_cols is not None else ["doc_id"]
+    from ..functions.gorilla import decode_ts_blocks, decode_val_blocks
+
+    sel = tier_df.where(
+        F.col("ts_gorilla").isNotNull() & F.col("val_gorilla").isNotNull()
+    ).select(*key_cols, "tier", "count", "ts_gorilla", "val_gorilla")
+    fields = [tier_df.schema[c] for c in key_cols] + [
+        StructField("tier", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+    ]
+    schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["count"].to_numpy().astype(np.int64)
+            mt = decode_ts_blocks(
+                [bytes(b) for b in pdf["ts_gorilla"]], counts
+            )
+            mv = decode_val_blocks(
+                [bytes(b) for b in pdf["val_gorilla"]], counts
+            )
+            row_of = np.repeat(np.arange(len(pdf)), counts)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            j = np.arange(int(counts.sum())) - np.repeat(offs, counts)
+            res = {c: pdf[c].to_numpy()[row_of] for c in key_cols}
+            res["tier"] = pdf["tier"].to_numpy()[row_of]
+            res["ts_ms"] = mt[row_of, j]
+            res["value"] = mv[row_of, j]
+            yield pd.DataFrame(res)
+
+    return sel.mapInPandas(run, schema)
+
+
 # ------------------------------------------------------------------- points
 
 def rollup_points_pdf(
