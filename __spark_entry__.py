@@ -763,6 +763,31 @@ FROM documents
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style heuristic filter chain: keep + first-failing-rule
+    per doc (training-data curation stage)."""
+    d = _t(spark, sf_dir, "documents")
+    return T.quality_filter(d).select("doc_id", "keep", "drop_reason")
+
+
+_QF_RULES_SQL = [
+    ("min_chars", "q_n_chars >= 32"),
+    ("min_tokens", "q_n_tokens >= 8"),
+    ("max_punct", "q_punct_ratio IS NULL OR q_punct_ratio <= 0.2"),
+    ("max_digit", "q_digit_ratio IS NULL OR q_digit_ratio <= 0.3"),
+    ("mean_word_len", "q_mean_word_len BETWEEN 2 AND 12"),
+]
+
+SQL_QUALITY_FILTER = f"""
+WITH q AS ({SQL_TEXT_QUALITY})
+SELECT doc_id,
+       ({" AND ".join(f"({e})" for _, e in _QF_RULES_SQL)}) AS keep,
+       CASE {" ".join(f"WHEN NOT ({e}) THEN '{n}'" for n, e in _QF_RULES_SQL)}
+       END AS drop_reason
+FROM q
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.lang_id(d).select("doc_id", "lang_pred", "lang_score")
@@ -1401,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1453,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,
+        "quality_filter": SQL_QUALITY_FILTER,
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "embedding_topk": SQL_EMBEDDING_TOPK,

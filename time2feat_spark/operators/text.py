@@ -66,6 +66,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+DEFAULT_QUALITY_RULES: list[tuple[str, str]] = [
+    # (rule name, SQL boolean expr over quality_features columns) — a doc
+    # is kept iff EVERY rule holds; the first failing rule is recorded
+    # (C4/Gopher-style heuristic filter chain, fully JVM-evaluated)
+    ("min_chars", "q_n_chars >= 32"),
+    ("min_tokens", "q_n_tokens >= 8"),
+    ("max_punct", "q_punct_ratio IS NULL OR q_punct_ratio <= 0.2"),
+    ("max_digit", "q_digit_ratio IS NULL OR q_digit_ratio <= 0.3"),
+    ("mean_word_len", "q_mean_word_len BETWEEN 2 AND 12"),
+]
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heuristic quality-filter chain for training-data curation: adds
+    `keep` (all rules pass) and `drop_reason` (first failing rule, NULL
+    when kept). One scan, whole-stage codegen; rules are plain SQL
+    predicates over the quality feature columns so the chain is
+    oracle-replicable and user-extensible."""
+    rules = rules if rules is not None else DEFAULT_QUALITY_RULES
+    q = quality_features(df, text_col)
+    keep = F.lit(True)
+    reason = F.lit(None).cast("string")
+    # first failing rule wins: build the CASE from the last rule backward
+    for name, expr in reversed(rules):
+        ok = F.expr(expr)
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    for _, expr in rules:
+        keep = keep & F.expr(expr)
+    return q.withColumn("keep", keep).withColumn("drop_reason", reason)
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker counts,
     'und' when no marker matches. Deterministic tie-break by language code
