@@ -1,0 +1,138 @@
+"""Sketch-based tier cascade: coarse tiers maintained from FINE-TIER
+SKETCHES, never re-reading raw points.
+
+The exact ladder (operators/rollup.py) recomputes holistic stats from
+raw per chunk — bit-exact, the correctness baseline. This operator is
+the scale-path alternative for continuous aggregates: each 1m window
+carries a fixed-size mergeable histogram sketch
+(functions/sketch.py), 1h folds 1m sketches, 1d folds 1h sketches.
+Updating a coarse window after late data costs O(affected fine
+sketches), independent of raw point count — the property that matters
+when a 1d window covers billions of points.
+
+Error bound: one bin width per fold level —
+|q_est - q_exact| <= levels * (window range) / nbins; tested.
+
+Plan shape: identical to the exact ladder — shuffle-free mapInPandas
+over whole sequence rows; the cascade happens inside the kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.kernels import pad_windows
+from ..functions.sketch import build_sketches, merge_sketches, sketch_quantile
+
+DEFAULT_TIERS = [("1m", 60), ("1h", 3600), ("1d", 86400)]
+T0_MS = 1704067200000
+
+
+def sketch_schema() -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("tier", StringType()),
+            StructField("window_start_ms", LongType()),
+            StructField("count", LongType()),
+            StructField("q10_est", DoubleType()),
+            StructField("q50_est", DoubleType()),
+            StructField("q90_est", DoubleType()),
+            StructField("sketch", ArrayType(DoubleType())),
+        ]
+    )
+
+
+def _tier_windows(n_tok: np.ndarray, tt: int):
+    """Per-doc window bookkeeping for a tier of tt ticks."""
+    nw = (n_tok + tt - 1) // tt
+    nw_off = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(nw, out=nw_off[1:])
+    k = int(nw_off[-1])
+    doc_of = np.repeat(np.arange(len(n_tok)), nw)
+    j = np.arange(k, dtype=np.int64) - np.repeat(nw_off[:-1], nw)
+    return nw, nw_off, doc_of, j
+
+
+def sketch_cascade_pdf(
+    pdf: pd.DataFrame,
+    tiers: list[tuple[str, int]] | None = None,
+    nbins: int = 64,
+    t0_ms: int = T0_MS,
+    tick_ms: int = 1000,
+) -> pd.DataFrame:
+    tiers = sorted(tiers or DEFAULT_TIERS, key=lambda t: t[1])
+    n_tok = pdf["n_tok"].to_numpy().astype(np.int64)
+    n_docs = len(pdf)
+    if n_docs == 0:
+        return pd.DataFrame({f.name: [] for f in sketch_schema()})
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    flat = np.concatenate(
+        [np.asarray(t, dtype=np.float64) for t in pdf["tokens"]]
+    )
+    doc_ids = pdf["doc_id"].to_numpy()
+
+    frames = []
+    prev_sk = None
+    prev_doc_of = None
+    prev_j = None
+    prev_tt = None
+    for tier_name, tier_sec in tiers:
+        tt = tier_sec * 1000 // tick_ms
+        nw, nw_off, doc_of, j = _tier_windows(n_tok, tt)
+        if prev_sk is None:
+            # finest tier: sketches built from the raw points, windowed
+            w_starts = offsets[:-1][doc_of] + j * tt
+            w_ends = np.minimum(w_starts + tt, offsets[1:][doc_of])
+            mat, counts = pad_windows(flat, w_starts, w_ends)
+            sk = build_sketches(mat, counts, nbins)
+        else:
+            # coarser tier: FOLD the previous tier's sketches — raw is
+            # never touched again
+            ratio = tt // prev_tt
+            group_of = nw_off[:-1][prev_doc_of] + prev_j // ratio
+            sk = merge_sketches(prev_sk, group_of, int(nw_off[-1]))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": doc_ids[doc_of],
+                    "tier": tier_name,
+                    "window_start_ms": t0_ms + j * tt * tick_ms,
+                    "count": sk[:, 0].astype(np.int64),
+                    "q10_est": sketch_quantile(sk, 0.1),
+                    "q50_est": sketch_quantile(sk, 0.5),
+                    "q90_est": sketch_quantile(sk, 0.9),
+                    "sketch": list(sk),
+                }
+            )
+        )
+        prev_sk, prev_doc_of, prev_j, prev_tt = sk, doc_of, j, tt
+    return pd.concat(frames, ignore_index=True)
+
+
+def sketch_cascade(
+    df: DataFrame,
+    tiers: list[tuple[str, int]] | None = None,
+    nbins: int = 64,
+) -> DataFrame:
+    """Shuffle-free sketch ladder over the sequences table."""
+    schema = sketch_schema()
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield sketch_cascade_pdf(pdf, tiers, nbins)
+
+    return df.mapInPandas(run, schema)
