@@ -504,7 +504,8 @@ def rollup_points(
     def run(batches):
         done: list[pd.DataFrame] = []  # whole groups awaiting a flush
         done_rows = 0
-        carry: pd.DataFrame | None = None  # trailing (open) group
+        carry: list[pd.DataFrame] = []  # trailing (open) group's frames
+        carry_key: tuple | None = None
 
         def roll(frames):
             pdf = frames[0] if len(frames) == 1 else pd.concat(
@@ -517,26 +518,35 @@ def rollup_points(
         for pdf in batches:
             if not len(pdf):
                 continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             # rows are sorted by group key, so the open group is the
             # trailing run equal to the last row's key tuple
+            first_key = tuple(pdf.iloc[0][c] for c in group_cols)
             eq = np.ones(len(pdf), dtype=bool)
             for c in group_cols:
                 col = pdf[c].to_numpy()
                 eq &= col == col[-1]
             not_eq = np.nonzero(~eq)[0]
             cut = int(not_eq[-1]) + 1 if len(not_eq) else 0
+            if carry and first_key != carry_key:
+                # open group ended exactly on the batch boundary
+                done.extend(carry)
+                done_rows += sum(len(f) for f in carry)
+                carry = []
             if cut > 0:
+                # the carry (same group as pdf's head) completes here
+                done.extend(carry)
+                done_rows += sum(len(f) for f in carry)
                 done.append(pdf.iloc[:cut])
                 done_rows += cut
-            carry = pdf.iloc[cut:]
+                carry = []
+            tail = pdf.iloc[cut:]
+            if len(tail):
+                carry.append(tail)
+                carry_key = tuple(tail.iloc[-1][c] for c in group_cols)
             if done_rows >= flush_rows:
                 yield roll(done)
                 done, done_rows = [], 0
-        if carry is not None and len(carry):
-            done.append(carry)
+        done.extend(carry)
         if done:
             yield roll(done)
 
