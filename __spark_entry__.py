@@ -722,6 +722,50 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """Surviving corpus after exact dedup (keep min doc_id per content)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_resolve(d).select("doc_id", F.length("text").alias("n_chars"))
+
+
+SQL_DEDUP_RESOLVE = """
+SELECT doc_id, length(text) AS n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+def q_token_topk(spark, sf_dir):
+    """Heavy hitters over the canonical token payload: the 3 most
+    frequent tokens per doc (count desc, token asc tie-break) — plain
+    explode + groupBy + window, all JVM."""
+    seq = _sequences(spark, sf_dir).where(F.col("doc_id") < "doc_00000200")
+    tok = seq.select("doc_id", F.explode("tokens").alias("token"))
+    counted = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", F.col("token").cast("long").alias("token"), "n")
+    )
+
+
+def sql_token_topk(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    return f"""
+WITH pts AS ({_SEQ_SQL.format(path=path)}),
+c AS (
+  SELECT doc_id, CAST(v AS BIGINT) AS token, count(*) AS n
+  FROM pts WHERE doc_id < 'doc_00000200' GROUP BY 1, 2)
+SELECT doc_id, rk, token, n FROM (
+  SELECT doc_id, token, n,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n DESC, token) AS INT) AS rk
+  FROM c) WHERE rk <= 3
+"""
+
+
 def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1424,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_by_type": q_zscore_by_type,
         "distinct_counts": q_distinct_counts,
         "dedup_exact": q_dedup_exact,
+        "dedup_resolve": q_dedup_resolve,
+        "token_topk": q_token_topk,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -1477,6 +1523,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore_by_type": SQL_ZSCORE_BY_TYPE,
         "distinct_counts": SQL_DISTINCT_COUNTS,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_resolve": SQL_DEDUP_RESOLVE,
+        "token_topk": sql_token_topk("sf0.01"),
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,
         "quality_filter": SQL_QUALITY_FILTER,

@@ -51,6 +51,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_resolve(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The surviving corpus after exact dedup: keep the smallest-id doc
+    of each content group (the usual curation resolve step). One shuffle
+    on the content hash; implemented as min-id per hash + semi join so
+    the kept rows keep ALL their columns."""
+    keepers = (
+        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers.select(id_col), id_col, "left_semi")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
