@@ -208,20 +208,45 @@ def ami(a: np.ndarray, b: np.ndarray) -> float:
 
 class ClusterWrapper:
     """Mirror of t2f/model/clustering.py:33-70: NaN-column drop ->
-    standardize -> fit_predict."""
+    transform (std | minmax | robust | None, preprocessing.py:5-15) ->
+    fit_predict."""
 
-    def __init__(self, n_clusters: int, model_type: str = "KMeans", seed: int = 42):
+    def __init__(
+        self,
+        n_clusters: int,
+        model_type: str = "KMeans",
+        transform_type: str | None = "std",
+        seed: int = 42,
+    ):
         self.n_clusters = n_clusters
         self.model_type = model_type
+        self.transform_type = transform_type
         self.seed = seed
+
+    def _transform(self, X: np.ndarray) -> np.ndarray:
+        t = self.transform_type
+        if t is None:
+            return X
+        if t == "std":
+            mu, sd = X.mean(axis=0), X.std(axis=0)
+            sd[sd == 0] = 1.0
+            return (X - mu) / sd
+        if t == "minmax":
+            lo, hi = X.min(axis=0), X.max(axis=0)
+            span = np.where(hi - lo > 0, hi - lo, 1.0)
+            return (X - lo) / span
+        if t == "robust":
+            med = np.median(X, axis=0)
+            q1, q3 = np.percentile(X, [25, 75], axis=0)
+            iqr = np.where(q3 - q1 > 0, q3 - q1, 1.0)
+            return (X - med) / iqr
+        raise ValueError(f"unknown transform_type {t!r}")
 
     def fit_predict(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
         keep = ~np.isnan(X).any(axis=0)  # P6: drop any-NaN columns
         X = X[:, keep]
-        mu, sd = X.mean(axis=0), X.std(axis=0)
-        sd[sd == 0] = 1.0
-        Z = (X - mu) / sd
+        Z = self._transform(X)
         if self.model_type == "Hierarchical":
             return agglomerative(Z, self.n_clusters)
         if self.model_type == "Spectral":
