@@ -1100,6 +1100,16 @@ SELECT 'raw' AS tier, count(*) AS n_windows,
 # selection / pair-distance / multimodal operators
 # --------------------------------------------------------------------------
 
+def _rb(x, inner, outer):
+    """Scalar (inner, outer) double-rounding — same family as
+    functions/rounding.round_bin, for driver-side scalars."""
+    import math
+    s = 10.0 ** inner
+    x = math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
+    s = 10.0 ** outer
+    return math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
+
+
 def q_anova_f(spark, sf_dir):
     """T1 ranking statistic: one-way ANOVA F per lineitem numeric with
     l_returnflag as the class label (f_classif semantics)."""
@@ -1109,14 +1119,7 @@ def q_anova_f(spark, sf_dir):
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     scores = anova_f_scores(li, cols, "l_returnflag")
 
-    def rb(x, inner, outer):
-        import math
-        s = 10.0 ** inner
-        x = math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
-        s = 10.0 ** outer
-        return math.floor(abs(x) * s + 0.5) * (1 if x >= 0 else -1) / s
-
-    rows = [(c, rb(scores[c], 7, 4)) for c in cols]
+    rows = [(c, _rb(scores[c], 7, 4)) for c in cols]
     return spark.createDataFrame(rows, "col_name string, f_score double")
 
 
@@ -1150,7 +1153,11 @@ def q_anova_pvalue_rank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     fp = anova_p_values(li, cols, "l_returnflag")
-    ranked = sorted(cols, key=lambda c: (fp[c][1], -fp[c][0], c))
+    # rank on the SAME (7,4)-double-rounded F the oracle ranks on (p is
+    # monotone decreasing in F, so p-asc == F-desc): two features whose
+    # F differ only past the 4th decimal tie on BOTH sides and fall to
+    # the identical col_name tie-break, instead of diverging
+    ranked = sorted(cols, key=lambda c: (-_rb(fp[c][0], 7, 4), c))
     rows = [(c, i + 1) for i, c in enumerate(ranked)]
     return spark.createDataFrame(rows, "col_name string, p_rank int")
 

@@ -1,0 +1,41 @@
+"""Guards on the deliberately-quadratic verify-stage operators.
+
+ngram_jaccard_pairs is an all-pairs cross join BY DESIGN (the exact
+verify stage after LSH pruning, reference parity for raw k-gram
+Jaccard). At corpus scale that shape is a footgun, so misuse must be
+loud: inputs above NGRAM_ALLPAIRS_MAX_ROWS raise unless the caller
+explicitly opts in with allow_full_scan=True.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from time2feat_spark.operators import dedup as D
+
+
+def _docs(spark, n):
+    return spark.range(n).selectExpr(
+        "cast(id as string) as doc_id",
+        "concat('the quick brown fox ', id) as text",
+    )
+
+
+def test_guard_trips_above_threshold(spark):
+    df = _docs(spark, 50)
+    with pytest.raises(ValueError, match="all-pairs cross join"):
+        D.ngram_jaccard_pairs(df, max_rows=10)
+
+
+def test_allow_full_scan_overrides(spark):
+    df = _docs(spark, 50)
+    out = D.ngram_jaccard_pairs(
+        df, max_rows=10, allow_full_scan=True, min_jaccard=0.0
+    )
+    assert out.count() == 50 * 49 // 2
+
+
+def test_small_inputs_pass_without_flag(spark):
+    df = _docs(spark, 8)
+    out = D.ngram_jaccard_pairs(df, max_rows=10, min_jaccard=0.0)
+    assert out.count() == 8 * 7 // 2

@@ -161,3 +161,29 @@ def test_batched_decoders_match_sequential_and_truth():
             sv = decode_val_block(blocks_v[i], int(n))
             assert ((np.isnan(sv) & np.isnan(w)) | (sv == w)).all()
             assert (decode_ts_block(blocks_t[i], int(n)) == truth_t[i]).all()
+
+
+def test_batched_decoders_honor_zero_count_padding():
+    """A row with counts[i]==0 must surface the documented padding
+    (NaN for values, 0 for timestamps) in EVERY column — including
+    column 0, which the batched decoders fill from the header word for
+    non-empty rows (ADVICE r2: previously leaked header bytes)."""
+    from time2feat_spark.functions.gorilla import (
+        decode_ts_blocks,
+        decode_val_blocks,
+        encode_ts_blocks,
+        encode_val_blocks,
+    )
+
+    v = np.array([1.5, 2.5, 3.5])
+    t = np.array([1000, 2000, 3000], dtype=np.int64)
+    offs = np.array([0, 3])
+    bv = encode_val_blocks(v, offs)[0]
+    bt = encode_ts_blocks(t, offs)[0]
+    counts = np.array([3, 0, 3])
+    mv = decode_val_blocks([bv, bv, bv], counts)
+    mt = decode_ts_blocks([bt, bt, bt], counts)
+    assert np.isnan(mv[1]).all()
+    assert (mt[1] == 0).all()
+    assert (mv[0] == v).all() and (mv[2] == v).all()
+    assert (mt[0] == t).all() and (mt[2] == t).all()

@@ -100,3 +100,61 @@ def test_streaming_sessionize_matches_batch_rule(spark, tmp_path):
     }
     missing = expected_closed - got_set
     assert not missing, f"{len(missing)} closed sessions never emitted"
+
+
+def test_streaming_sessionize_lowers_start_on_out_of_order_merge(
+    spark, tmp_path
+):
+    """ADVICE r2: an out-of-order event arriving in a LATER micro-batch
+    (above the watermark) that merges into the open session must lower
+    session_start_ms to the true min event time."""
+    base = pd.Timestamp("2024-01-01").value // 10**6
+    b1 = pd.DataFrame(
+        {
+            "key": ["k", "k"],
+            "ts": pd.to_datetime([base + 10_000, base + 20_000], unit="ms"),
+            "value": [1.0, 2.0],
+        }
+    )
+    # batch 2: one event BEFORE the open session's recorded start (in
+    # order of arrival, out of order in event time), then a far-future
+    # event whose watermark both closes the session by gap and advances
+    # time past it
+    b2 = pd.DataFrame(
+        {
+            "key": ["k", "k"],
+            "ts": pd.to_datetime([base + 1_000, base + 900_000], unit="ms"),
+            "value": [4.0, 8.0],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/p1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/p2")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/p1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    # watermark delay >= the disorder bound (see stateful.py docstring)
+    out = streaming_sessionize(
+        stream, "key", "ts", "value", GAP_S, watermark="30 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT * FROM sessions_ooo ORDER BY session_start_ms"
+    ).toPandas()
+    assert len(got) >= 1
+    first = got.iloc[0]
+    assert first.session_start_ms == base + 1_000, (
+        "merged out-of-order event did not lower session_start_ms"
+    )
+    assert first.session_end_ms == base + 20_000
+    assert first.n_events == 3 and first.sum_v == 7.0

@@ -388,7 +388,9 @@ def decode_val_blocks(blocks: list[bytes], counts: np.ndarray) -> np.ndarray:
         return out
     words = _blocks_to_words(blocks)
     prev = words[:, 0]
-    out[:, 0] = prev.view(np.float64)
+    # honor the NaN-padding contract for empty blocks: a row with
+    # counts[i]==0 must not surface the (garbage) header word
+    out[counts > 0, 0] = prev.view(np.float64)[counts > 0]
     pos = np.full(b_count, 64, dtype=np.uint64)
     for i in range(1, maxc):
         act = counts > i
@@ -421,7 +423,8 @@ def decode_ts_blocks(blocks: list[bytes], counts: np.ndarray) -> np.ndarray:
         return out
     words = _blocks_to_words(blocks)
     prev = words[:, 0].view(np.int64).copy()
-    out[:, 0] = prev
+    # counts[i]==0 rows keep the documented 0-padding, not header bytes
+    out[counts > 0, 0] = prev[counts > 0]
     delta = np.zeros(b_count, dtype=np.int64)
     pos = np.full(b_count, 64, dtype=np.uint64)
     for i in range(1, maxc):

@@ -185,15 +185,37 @@ def minhash_near_duplicates(
     )
 
 
+#: ngram_jaccard_pairs refuses inputs above this without allow_full_scan.
+NGRAM_ALLPAIRS_MAX_ROWS = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
     min_jaccard: float = 0.8,
+    allow_full_scan: bool = False,
+    max_rows: int = NGRAM_ALLPAIRS_MAX_ROWS,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard above a threshold (for modest inputs
-    or as the verify stage after LSH pruning at scale)."""
+    """Exact all-pairs n-gram Jaccard above a threshold.
+
+    This is an O(n^2) CARTESIAN self-join by construction — it exists as
+    the exact *verify stage* on a candidate set that LSH banding has
+    already pruned, or for modest fixture inputs. The scale path for
+    near-dup discovery over a raw corpus is
+    :func:`minhash_near_duplicates`, whose banding bounds the pairs
+    actually compared. To keep accidental full-corpus use loud, inputs
+    larger than ``max_rows`` raise unless ``allow_full_scan=True``."""
+    if not allow_full_scan:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: input has {n} rows > max_rows="
+                f"{max_rows}; this operator is an all-pairs cross join. "
+                "Use minhash_near_duplicates for corpus-scale near-dup "
+                "discovery, or pass allow_full_scan=True to override."
+            )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shset"),

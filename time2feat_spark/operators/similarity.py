@@ -280,11 +280,20 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs: banded LSH candidates + exact
     cosine verify. At min_cosine >= 0.9 the default banding has recall
     > 0.995 (see module docstring) while touching ~6% of random pairs.
-    Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    A pair that collides in m bands must pay the exact-cosine verify
+    ONCE, not m times: candidates are collapsed with dropDuplicates on
+    (id_a, id_b) BEFORE the cosine projection, so the aggregate sits
+    below the verify in the physical plan. The banded rows are
+    localCheckpoint-ed (eager) for the self-join — materialized once,
+    lineage cut, and the blocks are released by the ContextCleaner when
+    the result goes out of scope (no unpersist leak across calls in a
+    long-lived session)."""
     rows = _band_rows(
         df, [F.col(id_col).alias("id")], vec_col, dim, n_bands, band_bits, seed
-    ).cache()  # self-joined below
-    pairs = (
+    ).localCheckpoint(eager=True)  # self-joined below
+    cand = (
         rows.alias("a")
         .join(
             rows.alias("b"),
@@ -292,14 +301,21 @@ def embedding_near_duplicates(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn(
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._vec").alias("_va"),
+            F.col("b._vec").alias("_vb"),
+        )
+        # collapse multi-band collisions before the (expensive) verify
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.withColumn(
             "cos_sim",
-            round2(cosine(F.col("a._vec"), F.col("b._vec")).cast("double"), 9, 6),
+            round2(cosine(F.col("_va"), F.col("_vb")).cast("double"), 9, 6),
         )
         .where(F.col("cos_sim") >= min_cosine)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim"
-        )
-        .distinct()
+        .select("id_a", "id_b", "cos_sim")
     )
     return pairs

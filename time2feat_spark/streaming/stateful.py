@@ -9,7 +9,12 @@ event-time watermark passes session_end + gap (event-time timeout).
 
 Batch parity: the same gap rule as operators/asof.py::sessionize — a
 closed session here equals one session group there (verified in
-tests/test_streaming_stateful.py against the batch operator).
+tests/test_streaming_stateful.py against the batch operator). Exact
+parity under out-of-order arrival additionally requires a watermark
+delay >= the true disorder bound: an event older than the watermark is
+dropped by Spark before the state function sees it, and a gap-closed
+session cannot reopen. Events inside the watermark that merge into the
+open session are handled exactly (including lowering session_start_ms).
 
 Scale posture: state is one tiny tuple per ACTIVE key (not per event);
 the shuffle is the standard streaming groupBy(key) exchange; Arrow
@@ -104,7 +109,11 @@ def streaming_sessionize(
             t = int(t)
             if n > 0 and t - end > gap_ms:
                 closed.append((key[0], start, end, n, s, "gap"))
-                start, n, s = t, 0, 0.0
+                n, s = 0, 0.0
+            # an out-of-order event (above watermark) that merges into
+            # the open session may predate its recorded start — take the
+            # min so session_start_ms is the true earliest event time
+            start = t if n == 0 else min(start, t)
             end = max(end, t)
             n += 1
             s += float(v)
