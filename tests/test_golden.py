@@ -63,3 +63,38 @@ def test_quickstart_golden():
                 assert gv is None or np.isnan(gv), f"{doc_id}.{feat}"
             else:
                 assert gv == wv, f"{doc_id}.{feat}: {gv} != {wv}"
+
+
+MP_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "quickstart_matrix_profile.json"
+)
+_MP_COLS = [
+    "matrix_profile_min", "matrix_profile_max", "matrix_profile_mean",
+    "matrix_profile_median", "matrix_profile_p25", "matrix_profile_p75",
+    "change_q_0_10_0_std", "change_q_0_10_1_std",
+    "change_q_0_10_0_median", "change_q_0_10_1_median",
+]
+
+
+def test_quickstart_matrix_profile_golden():
+    """Pins the STOMP matrix-profile stats (round-3: real values replace
+    the documented-NaN columns) and the change_quantiles bridge cells on
+    the quickstart tensor."""
+    from time2feat_spark.functions.parity import parity_stats
+
+    rows = _quickstart_rows()
+    keys = sorted(rows)
+    mat = np.vstack([rows[k] for k in keys])
+    counts = np.full(len(keys), mat.shape[1])
+    st = parity_stats(mat.astype(np.float64), counts)
+    got = {
+        k: {c: float(st[c][i]) for c in _MP_COLS}
+        for i, k in enumerate(keys)
+    }
+    if os.environ.get("REGEN_GOLDEN") or not os.path.exists(MP_GOLDEN):
+        with open(MP_GOLDEN, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        pytest.skip("matrix-profile golden (re)generated")
+    with open(MP_GOLDEN) as f:
+        want = json.load(f)
+    assert got == want

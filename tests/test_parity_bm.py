@@ -87,13 +87,55 @@ def test_full_parity_width_matches_report_table3(spark, bm):
     for c in ["feat_adf_pvalue", "feat_linear_trend_pvalue"]:
         v = feats[c].dropna()
         assert ((v >= 0) & (v <= 1)).all(), c
-    # the 7 documented always-NaN columns (need the external
-    # matrixprofile package / a query): present for width parity
-    stubbed = [c for c in feat_cols if "matrix_profile" in c] + [
-        "feat_query_similarity_count"
-    ]
-    assert len(stubbed) == 7
-    assert feats[stubbed].isna().all().all()
+    # matrix_profile is REAL (STOMP) since round 3: finite, ordered stats
+    mp = [c for c in feat_cols if "matrix_profile" in c]
+    assert len(mp) == 6
+    assert np.isfinite(feats[mp].to_numpy()).all()
+    assert (feats["feat_matrix_profile_min"]
+            <= feats["feat_matrix_profile_median"]).all()
+    assert (feats["feat_matrix_profile_median"]
+            <= feats["feat_matrix_profile_max"]).all()
+    # the ONE documented always-NaN column: tsfresh's default
+    # query_similarity_count(query=None) is NaN by definition
+    assert feats["feat_query_similarity_count"].isna().all()
+
+
+def test_parity_registry_matches_checked_in_tsfresh_grid():
+    """Round-3 VERDICT item 2: the 787-cell registry is a 1:1 bijection
+    with the checked-in enumeration of the public tsfresh 0.20 grid
+    (functions/tsfresh_grid.py), with 787 falling out as a consequence
+    of the composition — fft_coefficient is coeff 0..99 (400 cells, no
+    phantom coeff-100), change_quantiles carries the 60 settings-grid
+    cells plus the 4 flagged bridge cells."""
+    from time2feat_spark.functions.parity import PARITY_FEATURES
+    from time2feat_spark.functions.tsfresh_grid import (
+        BRIDGE_CELLS,
+        grid,
+        tsfresh_name,
+    )
+
+    g = grid()
+    ts_names = [t for t, _ in g]
+    eng_names = [e for _, e in g]
+    assert len(g) == 787
+    assert len(set(ts_names)) == 787, "duplicate tsfresh names"
+    assert len(set(eng_names)) == 787, "duplicate engine names"
+    assert set(eng_names) == set(PARITY_FEATURES)
+    # tsfresh's actual fft grid: coeff 0..99, no 100
+    assert 'fft_coefficient__attr_"real"__coeff_99' in ts_names
+    assert 'fft_coefficient__attr_"real"__coeff_100' not in ts_names
+    assert "fft_coeff_real_100" not in PARITY_FEATURES
+    # change_quantiles: 60 settings cells + 4 flagged bridge cells
+    cq = [t for t in ts_names if t.startswith("change_quantiles")]
+    assert len(cq) == 64 and len(BRIDGE_CELLS) == 4
+    assert all(b in cq for b in BRIDGE_CELLS)
+    # canonical naming round-trip
+    assert tsfresh_name("q10") == "value__quantile__q_0.1"
+    assert (
+        tsfresh_name("change_q_0_2_1_mean", "sig0")
+        == 'sig0__change_quantiles__f_agg_"mean"__isabs_True'
+           "__qh_0.2__ql_0.0"
+    )
 
 
 def test_pair_feature_width_matches_report_table3(spark, bm):

@@ -502,15 +502,20 @@ def rollup_points(
     parted = parted.sortWithinPartitions(*group_cols)
 
     def run(batches):
-        done: list[pd.DataFrame] = []  # whole groups awaiting a flush
-        done_rows = 0
-        carry: list[pd.DataFrame] = []  # trailing (open) group's frames
-        carry_key: tuple | None = None
+        # Arrow batches can be tiny (maxRecordsPerBatch is tuned for
+        # token-ARRAY inputs; point rows are scalars), so per-batch
+        # Python work must be O(1): batches are buffered RAW, and the
+        # group-boundary detection runs ONCE per flush over the whole
+        # ~flush_rows buffer (one vectorized pass), not once per batch.
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
 
-        def roll(frames):
-            pdf = frames[0] if len(frames) == 1 else pd.concat(
+        def concat(frames):
+            return frames[0] if len(frames) == 1 else pd.concat(
                 frames, ignore_index=True
             )
+
+        def roll(pdf):
             return rollup_points_pdf(
                 pdf, cfg, group_cols, ts_col, val_col
             ).drop(columns=["_chunk"])
@@ -518,36 +523,24 @@ def rollup_points(
         for pdf in batches:
             if not len(pdf):
                 continue
-            # rows are sorted by group key, so the open group is the
-            # trailing run equal to the last row's key tuple
-            first_key = tuple(pdf.iloc[0][c] for c in group_cols)
-            eq = np.ones(len(pdf), dtype=bool)
-            for c in group_cols:
-                col = pdf[c].to_numpy()
-                eq &= col == col[-1]
-            not_eq = np.nonzero(~eq)[0]
-            cut = int(not_eq[-1]) + 1 if len(not_eq) else 0
-            if carry and first_key != carry_key:
-                # open group ended exactly on the batch boundary
-                done.extend(carry)
-                done_rows += sum(len(f) for f in carry)
-                carry = []
-            if cut > 0:
-                # the carry (same group as pdf's head) completes here
-                done.extend(carry)
-                done_rows += sum(len(f) for f in carry)
-                done.append(pdf.iloc[:cut])
-                done_rows += cut
-                carry = []
-            tail = pdf.iloc[cut:]
-            if len(tail):
-                carry.append(tail)
-                carry_key = tuple(tail.iloc[-1][c] for c in group_cols)
-            if done_rows >= flush_rows:
-                yield roll(done)
-                done, done_rows = [], 0
-        done.extend(carry)
-        if done:
-            yield roll(done)
+            buf.append(pdf)
+            buf_rows += len(pdf)
+            if buf_rows >= flush_rows:
+                whole = concat(buf)
+                # rows are sorted by group key, so the (possibly still
+                # open) trailing group is the run equal to the last
+                # row's key; everything before it is complete
+                eq = np.ones(len(whole), dtype=bool)
+                for c in group_cols:
+                    v = whole[c].to_numpy()
+                    eq &= v == v[-1]
+                not_eq = np.nonzero(~eq)[0]
+                cut = int(not_eq[-1]) + 1 if len(not_eq) else 0
+                tail = whole.iloc[cut:]
+                buf, buf_rows = [tail], len(tail)
+                if cut > 0:
+                    yield roll(whole.iloc[:cut])
+        if buf_rows:
+            yield roll(concat(buf))
 
     return parted.mapInPandas(run, schema)
