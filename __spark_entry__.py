@@ -1002,25 +1002,173 @@ FROM w WHERE pos <= ng - 3 GROUP BY doc_id
 """
 
 
+# --- ANN queries, value-exact oracles (round-3 VERDICT item 3) -----------
+# Both approximate paths are made SQL-replicable by sharing their random
+# structure across engines: the LSH hyperplanes are a seeded,
+# decimal-rounded matrix embedded as literals in the oracle; the IVF
+# centroids are trained by a deterministic Spark-free numpy k-means over
+# the (sorted) parquet corpus and embedded the same way. The queries stay
+# genuinely approximate (bucketed candidates / nprobe<cells probing) —
+# only the randomness is pinned, exactly as a production run would pin
+# its trained quantizer.
+
+_LSH_BANDS, _LSH_BITS, _EMB_DIM = 24, 5, 64
+
+
+def _lsh_planes():
+    """Seeded hyperplanes rounded to 4 decimals: n/10^4 parses to the
+    bit-identical double in DuckDB, so both engines compute sign bits of
+    the same planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return np.round(
+        rng.standard_normal((_EMB_DIM, _LSH_BANDS * _LSH_BITS)), 4
+    )
+
+
+def _emb_double(emb):
+    # float32 storage; widen once so every product matches the oracle's
+    # CAST(embedding AS DOUBLE[]) arithmetic exactly
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    """Banded-hyperplane LSH top-k (multi-table union of candidates,
+    exact cosine re-rank) — value-exact oracle: the DuckDB side rebuilds
+    the same band hashes from the shared plane literals."""
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(emb, queries, k=10)
+    return S.lsh_topk(
+        emb, queries, k=10,
+        n_bands=_LSH_BANDS, band_bits=_LSH_BITS, planes=_lsh_planes(),
+    )
+
+
+def _sql_lsh_topk() -> str:
+    planes = _lsh_planes()
+    rows = []
+    for p in range(planes.shape[1]):
+        band, bit = divmod(p, _LSH_BITS)
+        vec = "[" + ",".join(f"{v:.4f}" for v in planes[:, p]) + "]"
+        rows.append(f"({band},{bit},{vec}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(band_id, bit, pv) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+cb AS (SELECT vec_id, band_id,
+              sum(CASE WHEN list_dot_product(ev, pv) > 0
+                       THEN 1 << bit ELSE 0 END) AS h
+       FROM e CROSS JOIN planes GROUP BY vec_id, band_id),
+qb AS (SELECT query_id, band_id,
+              sum(CASE WHEN list_dot_product(qv, pv) > 0
+                       THEN 1 << bit ELSE 0 END) AS h
+       FROM q CROSS JOIN planes GROUP BY query_id, band_id),
+cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+         FROM qb JOIN cb ON qb.band_id = cb.band_id AND qb.h = cb.h),
+sims AS (SELECT c.query_id, c.vec_id,
+                round(round(list_dot_product(e.ev, q.qv)
+                      / (sqrt(list_dot_product(e.ev, e.ev))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 9), 6)
+                  AS cos_sim
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+                     JOIN q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= 10
+"""
+
+
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+def _ivf_cents(sf_dir: str):
+    """Deterministic Spark-free IVF quantizer: numpy k-means (seeded)
+    over the first 2000 vec_id-sorted unit vectors of the corpus — both
+    the Spark query and the SQL oracle derive from the same parquet, so
+    the trained centroids are bit-identical on both sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from time2feat_spark.operators.clustering import kmeans
+
+    t = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    X = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+    )[:2000]
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    centers, _ = kmeans(X, _IVF_CELLS, seed=42, n_init=3)
+    return centers
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (coarse k-means quantizer + nprobe probing)
-    — the clustered-corpus ANN scale path; rows-only (approximate by
-    construction; recall proven on clustered data in
+    """IVF approximate top-k (coarse k-means quantizer, nprobe=4 of 16
+    cells) — value-exact oracle: the DuckDB side repeats the cell
+    assignment and probing against the same centroid literals (recall on
+    clustered data additionally proven in
     tests/test_similarity.py::test_ivf_topk_recall_on_clustered_corpus)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = S.ivf_train_centroids(emb, n_cells=16)
-    return S.ivf_topk(emb, queries, cents, k=10, nprobe=8)
+    cents = _ivf_cents(sf_dir)
+    return S.ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE)
+
+
+def _sql_ivf_topk(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import numpy as np
+
+    cents = _ivf_cents(sf_dir)
+    # EXACTLY what _cell_assign_udf ranks against (unit-normalized),
+    # embedded via repr() so every double round-trips bit-identically
+    c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n".join(
+        f"({i},[{','.join(repr(float(v)) for v in c[i])}]::DOUBLE[])"
+        for i in range(len(c))
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+ce AS (SELECT vec_id, cell FROM (
+         SELECT e.vec_id, c.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.ev, c.cv) DESC, c.cell) AS rn
+         FROM e CROSS JOIN cents c) WHERE rn = 1),
+qc AS (SELECT query_id, cell FROM (
+         SELECT q.query_id, c.cell,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) AS rn
+         FROM q CROSS JOIN cents c) WHERE rn <= {_IVF_NPROBE}),
+cand AS (SELECT qc.query_id, ce.vec_id FROM qc JOIN ce USING (cell)),
+sims AS (SELECT c.query_id, c.vec_id,
+                round(round(list_dot_product(e.ev, q.qv)
+                      / (sqrt(list_dot_product(e.ev, e.ev))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 9), 6)
+                  AS cos_sim
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+                     JOIN q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= 10
+"""
 
 
 def q_ladder_full(spark, sf_dir):
@@ -1539,6 +1687,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_norms": SQL_EMBEDDING_NORMS,
+        "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
         "anova_f": SQL_ANOVA_F,
         "anova_pvalue_rank": SQL_ANOVA_PVALUE_RANK,
         "pair_distances": SQL_PAIR_DISTANCES,

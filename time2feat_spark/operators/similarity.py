@@ -100,13 +100,21 @@ def band_signatures(
     n_bands: int = 16,
     band_bits: int = 8,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Add `bands` (array<long>, one packed hash per band): sign bits of
     projections onto n_bands*band_bits seeded random hyperplanes. One
     vectorized Arrow matmul per batch — (rows x dim) @ (dim x planes) —
-    then a bit-pack reduce; no per-row Python, no shuffle."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bands * band_bits))
+    then a bit-pack reduce; no per-row Python, no shuffle.
+
+    `planes` (dim x n_bands*band_bits) overrides the seeded draw — used
+    by the driver queries, where the same (decimal-rounded) plane matrix
+    is embedded as literals in the DuckDB oracle so both engines hash
+    into identical buckets."""
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bands * band_bits))
+    assert planes.shape == (dim, n_bands * band_bits)
     weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
 
     @pandas_udf(ArrayType(LongType()))
@@ -130,9 +138,10 @@ def _band_rows(
     n_bands: int,
     band_bits: int,
     seed: int,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """(id..., vec, band_id, band_hash) — one row per (vector, band)."""
-    sig = band_signatures(df, vec_col, dim, n_bands, band_bits, seed)
+    sig = band_signatures(df, vec_col, dim, n_bands, band_bits, seed, planes)
     return sig.select(
         *id_cols,
         F.col(vec_col).alias("_vec"),
@@ -151,14 +160,18 @@ def lsh_topk(
     n_bands: int = 48,
     band_bits: int = 6,
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over bands of bucket matches
     (multi-table), exact cosine re-rank. Defaults are tuned WIDE
     (48 bands x 6 bits) for isotropic corpora where useful neighbors sit
     at low cosine; clustered corpora can use far narrower bands."""
-    c = _band_rows(corpus, [F.col(id_col)], vec_col, dim, n_bands, band_bits, seed)
+    c = _band_rows(
+        corpus, [F.col(id_col)], vec_col, dim, n_bands, band_bits, seed, planes
+    )
     q = _band_rows(
-        queries, [F.col(query_id_col)], vec_col, dim, n_bands, band_bits, seed
+        queries, [F.col(query_id_col)], vec_col, dim, n_bands, band_bits,
+        seed, planes,
     ).select(
         query_id_col, F.col("_vec").alias("_qvec"), "band_id", "band_hash"
     )
@@ -208,7 +221,13 @@ def ivf_train_centroids(
 
 def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
     """pandas_udf: nprobe nearest centroid ids per vector (one matmul
-    per Arrow batch — scan-side, no shuffle, no per-row Python)."""
+    per Arrow batch — scan-side, no shuffle, no per-row Python).
+
+    Ranks by the RAW dot against unit-norm centroids: per row, cosine
+    ranking is invariant to dividing by the (positive, constant) row
+    norm, and raw dots are exactly what a SQL oracle's
+    list_dot_product computes — no normalization rounding between the
+    engines."""
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf(ArrayType(LongType()))
@@ -216,9 +235,12 @@ def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
         if not len(vecs):
             return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ c.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+        # stable: exact similarity ties resolve to the LOWER cell id,
+        # the same tie-break the SQL oracle uses (dot DESC, cell ASC)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(
+            np.int64
+        )
         return pd.Series(list(top))
 
     return assign
