@@ -39,3 +39,18 @@ def test_small_inputs_pass_without_flag(spark):
     df = _docs(spark, 8)
     out = D.ngram_jaccard_pairs(df, max_rows=10, min_jaccard=0.0)
     assert out.count() == 8 * 7 // 2
+
+
+def test_selection_driver_bound_trips(spark):
+    """The deliberately-driver-side selection layer (SURVEY §4 O8) must
+    fail fast, not OOM, when fed a matrix above max_driver_rows."""
+    from time2feat_spark.operators.selection import pfa_select
+
+    df = spark.range(100).selectExpr(
+        "cast(id as double) as f1", "cast(id*2 as double) as f2"
+    )
+    with pytest.raises(ValueError, match="driver-side by design"):
+        pfa_select(df, ["f1", "f2"], max_driver_rows=10)
+    # under the bound it runs
+    out = pfa_select(df, ["f1", "f2"], max_driver_rows=1000)
+    assert set(out) <= {"f1", "f2"} and out

@@ -122,15 +122,47 @@ def image_features(
     )
     n_px = thumb * thumb
 
+    if not deterministic_fake:
+        # REAL codec path (requires PIL — validated by a
+        # pytest.importorskip test wherever codecs exist; this sandbox
+        # has none). The decode itself is necessarily per-image (that IS
+        # the codec boundary); everything around it — blob transport,
+        # Arrow batching, output shape — is identical to the stub path,
+        # so swapping in the codec changes no plan shape.
+        def run_real(batches):
+            import io
+
+            from PIL import Image  # noqa: import inside worker
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                px = np.empty((len(pdf), n_px), dtype=np.float64)
+                nb = np.empty(len(pdf), dtype=np.int64)
+                for i, blob in enumerate(pdf[blob_col]):
+                    b = bytes(blob)
+                    nb[i] = len(b)
+                    im = Image.open(io.BytesIO(b)).convert("L").resize(
+                        (thumb, thumb)
+                    )
+                    px[i] = np.asarray(im, dtype=np.float64).reshape(n_px)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_bytes": nb,
+                        "mean_px": px.mean(axis=1),
+                        "std_px": px.std(axis=1),
+                        "thumb_vec": list(px / 255.0),
+                    }
+                )
+
+        blobs = df.where(F.col(blob_col).isNotNull()).select(id_col, blob_col)
+        return blobs.mapInPandas(run_real, schema)
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires a codec (PIL); enable "
-                    "deterministic_fake for the stub pipeline"
-                )
             px = _fake_decode_matrix(
                 pdf["_seed"].to_numpy(), n_px
             ).astype(np.float64)

@@ -78,6 +78,7 @@ def simple_grid_search(
     grid: list[int] | None = None,
     mode: str = "anova",
     seed: int = 42,
+    max_driver_rows: int | None = None,
 ) -> tuple[int, list[str], float]:
     """Returns (best_top_k, selected_features, best_nmi).
 
@@ -97,6 +98,13 @@ def simple_grid_search(
     cached = feature_df.select(id_col, *cols).cache()
     train = cached.join(labels_df, id_col)  # broadcast hash join (J3)
 
+    from .selection import MAX_DRIVER_ROWS, ensure_driver_bound
+
+    ensure_driver_bound(
+        cached,
+        MAX_DRIVER_ROWS if max_driver_rows is None else max_driver_rows,
+        "simple_grid_search",
+    )
     pdf = cached.toPandas().set_index(id_col)
     lab_ids = [i for i in pdf.index if i in labels]
     y_true = np.array([labels[i] for i in lab_ids])

@@ -23,6 +23,34 @@ from pyspark.sql import DataFrame, functions as F
 
 from .clustering import kmeans
 
+#: Default ceiling for the deliberately-driver-side selection layer.
+#: The post-aggregation feature matrix is one row per SERIES (not per
+#: point/doc), so at 500k rows x ~800 float64 features it is ~3 GB —
+#: the practical edge of "collect and run numpy".
+MAX_DRIVER_ROWS = 500_000
+
+
+def ensure_driver_bound(
+    df: DataFrame, max_driver_rows: int, what: str
+) -> int:
+    """Fail fast before a toPandas/collect that would OOM the driver.
+
+    The selection/clustering layer deliberately mirrors the reference's
+    post-aggregation posture (SURVEY.md §4 O8: one row per series,
+    collect the small matrix, run numpy exactly) — that is the right
+    call for t2f-shaped workloads and the WRONG call for raw corpus
+    scale. This guard makes the boundary explicit instead of an OOM."""
+    n = df.count()
+    if n > max_driver_rows:
+        raise ValueError(
+            f"{what}: post-aggregation matrix has {n:,} rows > "
+            f"max_driver_rows={max_driver_rows:,}. This layer runs "
+            "driver-side by design (one row per series); aggregate "
+            "first (operators.rollup / operators.features) or raise "
+            "max_driver_rows explicitly if the driver has the memory."
+        )
+    return n
+
 
 def clean_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """One agg pass: per column (n_bad = NULL/NaN/inf count, var_pop)."""
@@ -145,7 +173,11 @@ def mann_whitney_p(x, in_class) -> float:
 
 
 def relevance_p_values(
-    df: DataFrame, cols: list[str], label_col: str, multiclass: bool = False
+    df: DataFrame,
+    cols: list[str],
+    label_col: str,
+    multiclass: bool = False,
+    max_driver_rows: int = MAX_DRIVER_ROWS,
 ) -> dict[str, float]:
     """tsfresh-relevance-table style p-values (reference 'tsfresh' /
     'multi' strategies, t2f/utils/importance_old.py:60-73): Mann-Whitney
@@ -155,6 +187,7 @@ def relevance_p_values(
     by construction (SURVEY.md §4 O8)."""
     import numpy as np
 
+    ensure_driver_bound(df, max_driver_rows, "relevance_p_values")
     pdf = df.select(label_col, *cols).toPandas()
     y = pdf[label_col].to_numpy()
     classes = sorted(set(y))
@@ -218,8 +251,10 @@ def pfa_select(
     cols: list[str],
     explained_var: float = 0.9,
     seed: int = 42,
+    max_driver_rows: int = MAX_DRIVER_ROWS,
 ) -> list[str]:
     """Unsupervised selection (selection.py:59 -> PFA.py:46): collect the
     (small) feature matrix and run PFA."""
+    ensure_driver_bound(df, max_driver_rows, "pfa_select")
     pdf = df.select(*cols).toPandas()
     return pfa(pdf.to_numpy(), cols, explained_var, seed)

@@ -45,6 +45,7 @@ def pipeline(
     train_size: float = 0.0,
     seed: int = 42,
     full_grid: bool = False,
+    max_driver_rows: int | None = None,
 ) -> dict:
     if [x for x in files if not os.path.isfile(x)]:
         raise ValueError("at least one time-series path doesn't exist")
@@ -57,7 +58,18 @@ def pipeline(
     sdf = spark.createDataFrame(pd.DataFrame(rows))
 
     # ---- distributed extraction: intra (per signal) + pair (per case)
+    from .operators.selection import MAX_DRIVER_ROWS, ensure_driver_bound
+
     extract = extract_parity_features if full_grid else extract_series_features
+    # the post-extraction matrix (one row per case x signal, same row
+    # count as the input — extraction is row-preserving) is collected
+    # driver-side below, the reference's O8 posture; bounded explicitly
+    # on the cheap input count so extraction runs once
+    ensure_driver_bound(
+        sdf,
+        MAX_DRIVER_ROWS if max_driver_rows is None else max_driver_rows,
+        "pipeline",
+    )
     feats = extract(sdf, value_col="values").toPandas()
     feats["case_id"] = [d.rsplit("_s", 1)[0] for d in feats.doc_id]
     feats["signal"] = [d.rsplit("_s", 1)[1] for d in feats.doc_id]
