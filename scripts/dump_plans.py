@@ -68,6 +68,12 @@ def main() -> None:
         ("Broadcast join chain (`revenue_by_nation`)",
          "Dimension tables broadcast; no shuffle on the fact side before "
          "partial agg.", fmt(spark, E.q_revenue_by_nation(spark, SF))),
+        ("Embedding near-duplicates (`embedding_near_dups`)",
+         "Verify-once (r3): the candidate-pair aggregate "
+         "(HashAggregate/dedup on id_a,id_b) sits BELOW the exact-cosine "
+         "projection, so a pair colliding in m bands pays the verify "
+         "once; banded rows are localCheckpoint-ed (auto-reclaimed).",
+         fmt(spark, E.q_embedding_near_dups(spark, SF))),
     ]
     out = [
         "# PLANS — physical plans of the headline queries (generated)",

@@ -98,3 +98,28 @@ def test_quickstart_matrix_profile_golden():
     with open(MP_GOLDEN) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_batched_permutation_entropy_matches_per_row_reference():
+    """The r3 batched permutation-entropy block must be bit-identical to
+    the retained per-row reference implementation (same argsort, same
+    code arithmetic, same -(p log p).sum() order)."""
+    from time2feat_spark.functions.parity import (
+        _permutation_entropy,
+        parity_stats,
+    )
+
+    rng = np.random.default_rng(77)
+    counts = np.array([100, 100, 64, 64, 30, 7, 3])
+    mat = np.full((len(counts), 128), np.nan)
+    for i, c in enumerate(counts):
+        mat[i, :c] = rng.standard_normal(c)
+    out = parity_stats(mat, counts)
+    for d in (3, 4, 5, 6, 7):
+        for i, c in enumerate(counts):
+            ref = _permutation_entropy(mat[i, :c], d)
+            got = out[f"permutation_entropy_d{d}"][i]
+            if np.isnan(ref):
+                assert np.isnan(got), (d, i)
+            else:
+                assert got == ref, (d, i, got, ref)

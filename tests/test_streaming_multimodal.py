@@ -192,3 +192,46 @@ def test_image_features_real_codec_path(spark):
         assert abs(out.loc[k, "mean_px"] - m) < 1e-9
         assert abs(out.loc[k, "std_px"] - s) < 1e-9
         assert len(out.loc[k, "thumb_vec"]) == 64
+
+
+def test_audio_frame_stats_real_wav_decode(spark):
+    """REAL audio decode via stdlib wave (PCM WAV needs no external
+    codec, so this runs in the sandbox): per-frame RMS of a generated
+    sine must match amplitude/sqrt(2)."""
+    import io
+    import wave as wave_mod
+
+    from time2feat_spark.operators.multimodal import audio_frame_stats
+
+    sr, n, amp = 8000, 4096, 0.5
+    t = np.arange(n) / sr
+    sig = (amp * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(sig.tobytes())
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [("a", bytearray(wav)), ("b", bytearray(wav))],
+        "doc_id string, media binary",
+    )
+    out = audio_frame_stats(
+        df, frame_len=256, max_frames=16, deterministic_fake=False
+    ).toPandas()
+    assert set(out.doc_id) == {"a", "b"}
+    assert (out.groupby("doc_id").frame.count() == 16).all()
+    # 256 samples = 8.2 cycles of 440Hz at 8kHz -> RMS ~ amp/sqrt(2)
+    assert np.allclose(out.rms, amp / np.sqrt(2), atol=0.02)
+
+
+def test_audio_real_path_rejects_non_pcm(spark):
+    from time2feat_spark.operators.multimodal import audio_frame_stats
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"ID3\x03mp3-ish-bytes"))],
+        "doc_id string, media binary",
+    )
+    with pytest.raises(Exception, match="Error|NotImplemented|wave|RIFF"):
+        audio_frame_stats(df, deterministic_fake=False).collect()

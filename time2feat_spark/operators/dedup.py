@@ -154,9 +154,13 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified with exact shingle-set
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    # self-joined below: materialize once (signature pipeline is the
+    # expensive part). localCheckpoint, not cache: blocks are reclaimed
+    # by the ContextCleaner when the result goes out of scope, so
+    # repeated calls in a long session don't accrete executor storage.
     buckets = minhash_lsh_buckets(
         df, text_col, id_col, num_perm, bands, shingle_k, seed
-    ).cache()  # self-joined below: avoid recomputing the signature pipeline
+    ).localCheckpoint(eager=True)
     pairs = (
         buckets.alias("x")
         .join(
@@ -171,7 +175,7 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shset"),
-    ).cache()  # joined twice (both pair sides)
+    ).localCheckpoint(eager=True)  # joined twice (both pair sides)
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sb"), "id_b")

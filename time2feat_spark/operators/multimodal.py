@@ -2,12 +2,19 @@
 
 Media are opaque `binary` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` stages. The decode step itself is STUBBED in this
-environment (no image/audio codecs installed): `deterministic_fake=True`
-produces a seeded, content-derived pseudo-decode so the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and tested end-to-end; with it False, the stage raises
-NotImplementedError where a codec (PIL/ffmpeg) would plug in.
+`mapInPandas` stages. Decode status per modality (round 3):
+- image: REAL branch via PIL behind `deterministic_fake=False`
+  (pytest.importorskip-tested — skips in this codec-less sandbox, runs
+  anywhere PIL exists); the stub remains the default here.
+- audio: REAL branch for PCM WAV via the stdlib `wave` module — needs
+  NO external codec, so it runs and is tested IN this sandbox
+  (test_audio_frame_stats_real_wav_decode); compressed formats raise
+  loudly toward the ffmpeg/soundfile plug point.
+- video: stubbed (keyframe extraction needs ffmpeg); the Spark-side
+  plumbing — schema, ragged frame expansion, batch shape — is real and
+  tested.
+`deterministic_fake=True` (default) produces a seeded, content-derived
+pseudo-decode so the full pipeline stays testable without codecs.
 
 Scale posture (north_rule: no per-row Python):
 - the content digest is computed JVM-side (`xxhash64(substring(media,
@@ -257,14 +264,70 @@ def audio_frame_stats(
         ]
     )
 
+    if not deterministic_fake:
+        # REAL decode path for PCM WAV via the stdlib `wave` module (no
+        # external codec needed — runs in this sandbox and is tested,
+        # not skipped). Compressed formats (mp3/ogg/aac) still need
+        # ffmpeg/soundfile and raise loudly. The decode is per-blob by
+        # nature (codec boundary); framing/RMS are vectorized.
+        def run_real(batches):
+            import io
+            import wave as wave_mod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, frame_ids, rms_vals = [], [], []
+                for doc, blob in zip(pdf[id_col], pdf[blob_col]):
+                    with wave_mod.open(io.BytesIO(bytes(blob))) as w:
+                        sw = w.getsampwidth()
+                        nch = w.getnchannels()
+                        raw = w.readframes(w.getnframes())
+                    if sw == 2:
+                        x = (
+                            np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                            / 32768.0
+                        )
+                    elif sw == 1:
+                        x = (
+                            np.frombuffer(raw, dtype=np.uint8).astype(
+                                np.float64
+                            )
+                            - 128.0
+                        ) / 128.0
+                    else:
+                        raise NotImplementedError(
+                            f"{sw*8}-bit PCM needs a codec beyond stdlib "
+                            "wave (ffmpeg/soundfile)"
+                        )
+                    if nch > 1:
+                        x = x[: (len(x) // nch) * nch].reshape(
+                            -1, nch
+                        ).mean(axis=1)
+                    nf = int(min(max(len(x) // frame_len, 1), max_frames))
+                    usable = x[: nf * frame_len]
+                    if len(usable) < nf * frame_len:  # sub-frame clip
+                        usable = np.pad(usable, (0, nf * frame_len - len(usable)))
+                    segs = usable.reshape(nf, frame_len)
+                    r = np.sqrt((segs * segs).mean(axis=1))
+                    ids.extend([doc] * nf)
+                    frame_ids.extend(range(nf))
+                    rms_vals.extend(r.tolist())
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "frame": np.asarray(frame_ids, dtype=np.int32),
+                        "rms": rms_vals,
+                    }
+                )
+
+        blobs = df.where(F.col(blob_col).isNotNull()).select(id_col, blob_col)
+        return blobs.mapInPandas(run_real, schema)
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "audio decode requires a codec (ffmpeg/soundfile)"
-                )
             nb = pdf["_nb"].to_numpy()
             seeds = pdf["_seed"].to_numpy().astype(np.uint64)
             n_frames = np.clip(nb // frame_len, 1, max_frames).astype(np.int64)
