@@ -95,7 +95,11 @@ def simple_grid_search(
             [(k, v) for k, v in labels.items()], f"{id_col} string, _label string"
         )
     )
-    cached = feature_df.select(id_col, *cols).cache()
+    from .selection import _qc
+
+    cached = feature_df.select(
+        F.col(id_col), *[_qc(c) for c in cols]
+    ).cache()
     train = cached.join(labels_df, id_col)  # broadcast hash join (J3)
 
     from .selection import MAX_DRIVER_ROWS, ensure_driver_bound

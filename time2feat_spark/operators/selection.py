@@ -52,16 +52,23 @@ def ensure_driver_bound(
     return n
 
 
+def _qc(c: str) -> F.Column:
+    """Column ref with the name taken LITERALLY (backtick-quoted):
+    reference-grammar feature names contain dots (`quantile__q_0.1`)
+    which a bare F.col would parse as struct access."""
+    return F.col("`" + c + "`")
+
+
 def clean_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """One agg pass: per column (n_bad = NULL/NaN/inf count, var_pop)."""
     aggs = []
     for c in cols:
-        bad = F.col(c).isNull() | F.isnan(c) | F.col(c).isin(
+        bad = _qc(c).isNull() | F.isnan(_qc(c)) | _qc(c).isin(
             float("inf"), float("-inf")
         )
         aggs.append(F.count(F.when(bad, 1)).alias(f"bad__{c}"))
-        aggs.append(F.var_pop(c).alias(f"var__{c}"))
-        aggs.append(F.count_distinct(c).alias(f"nd__{c}"))
+        aggs.append(F.var_pop(_qc(c)).alias(f"var__{c}"))
+        aggs.append(F.count_distinct(_qc(c)).alias(f"nd__{c}"))
     return df.agg(*aggs)
 
 
@@ -83,8 +90,8 @@ def anova_f_scores(
     """One-way ANOVA F statistic per feature (f_classif semantics)."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(c).alias(f"s__{c}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss__{c}"))
+        aggs.append(F.sum(_qc(c)).alias(f"s__{c}"))
+        aggs.append(F.sum(_qc(c) * _qc(c)).alias(f"ss__{c}"))
     per_class = df.groupBy(label_col).agg(*aggs).collect()
     k = len(per_class)
     n = sum(r["_n"] for r in per_class)
@@ -188,7 +195,7 @@ def relevance_p_values(
     import numpy as np
 
     ensure_driver_bound(df, max_driver_rows, "relevance_p_values")
-    pdf = df.select(label_col, *cols).toPandas()
+    pdf = df.select(F.col(label_col), *[_qc(c) for c in cols]).toPandas()
     y = pdf[label_col].to_numpy()
     classes = sorted(set(y))
     out: dict[str, float] = {}
@@ -256,5 +263,5 @@ def pfa_select(
     """Unsupervised selection (selection.py:59 -> PFA.py:46): collect the
     (small) feature matrix and run PFA."""
     ensure_driver_bound(df, max_driver_rows, "pfa_select")
-    pdf = df.select(*cols).toPandas()
+    pdf = df.select(*[_qc(c) for c in cols]).toPandas()
     return pfa(pdf.to_numpy(), cols, explained_var, seed)

@@ -37,6 +37,28 @@ from .operators.selection import clean_features, pfa
 from .sources.ts_reader import bm_series_rows
 
 
+#: kernel-registry names whose tsfresh counterpart differs from the
+#: parity-registry name (parity.py's _KERNEL_RENAME, inverted, plus the
+#: rollup-only fft aggregate aliases)
+_KERNEL_TO_PARITY = {
+    "count": "length", "sum": "sum_values", "min": "minimum",
+    "max": "maximum", "std": "standard_deviation",
+    "fft_centroid": "fft_agg_centroid", "fft_variance": "fft_agg_variance",
+}
+
+
+def reference_feature_name(feat_col: str) -> str:
+    """The tsfresh-canonical inner name for an engine feature column
+    (`feat_autocorr_lag1` -> `autocorrelation__lag_1`). Names outside
+    the 787-cell grid pass through unchanged."""
+    from .functions.tsfresh_grid import grid
+
+    name = feat_col[5:] if feat_col.startswith("feat_") else feat_col
+    name = _KERNEL_TO_PARITY.get(name, name)
+    eng2ts = {e: t for t, e in grid()}
+    return eng2ts.get(name, name)
+
+
 def pipeline(
     spark: SparkSession,
     files: list[str],
@@ -46,6 +68,7 @@ def pipeline(
     seed: int = 42,
     full_grid: bool = False,
     max_driver_rows: int | None = None,
+    reference_names: bool = False,
 ) -> dict:
     if [x for x in files if not os.path.isfile(x)]:
         raise ValueError("at least one time-series path doesn't exist")
@@ -75,7 +98,15 @@ def pipeline(
     feats["signal"] = [d.rsplit("_s", 1)[1] for d in feats.doc_id]
     feat_cols = [c for c in feats.columns if c.startswith("feat_")]
     wide = feats.pivot(index="case_id", columns="signal", values=feat_cols)
-    wide.columns = [f"{f}__{s}" for f, s in wide.columns]
+    if reference_names:
+        # the reference's exact intra grammar: single__{signal}__{tsfresh}
+        # (extractor.py:28,65 + tsfresh's own column convention)
+        wide.columns = [
+            f"single__{s}__{reference_feature_name(f)}"
+            for f, s in wide.columns
+        ]
+    else:
+        wide.columns = [f"{f}__{s}" for f, s in wide.columns]
     pairs = extract_pair_features(sdf).toPandas()
     pairs["col"] = (
         "pair__" + pairs.metric + "__" + pairs.sig_i + "__" + pairs.sig_j
