@@ -137,3 +137,40 @@ def test_ivf_topk_runs_on_testdata(spark):
     # self-match always survives: its cell is always probed first
     self_rows = out[out.query_id == out.vec_id]
     assert len(self_rows) == 3 and (self_rows["rank"] == 1).all()
+
+
+def test_ivf_at_rest_partition_pruning(spark, tmp_path):
+    """ivf_write lays the corpus out cell-partitioned; ivf_topk_at_rest
+    must (a) return exactly what the in-memory ivf_topk returns for the
+    same centroids/nprobe, and (b) prune unprobed cells AT PLANNING time
+    — the scan's partition filters carry the probed cell set."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((8, 64))
+    path = str(tmp_path / "ivf")
+    S.ivf_write(emb, cents, path)
+    # layout: one directory per cell
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(path) if d.startswith("cell=")
+    )
+    assert 1 < len(cells) <= 8
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.ivf_topk_at_rest(
+        spark, path, queries, cents, k=10, nprobe=2
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = S.ivf_topk(
+        emb, queries, cents, k=10, nprobe=2
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+    # partition pruning evidence: the pushed filter mentions the cell
+    # partition column (resolved against the directory listing)
+    plan = S.ivf_topk_at_rest(
+        spark, path, queries, cents, k=10, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()

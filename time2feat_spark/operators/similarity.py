@@ -341,3 +341,76 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cos_sim")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF at rest: cell-partitioned layout + partition-pruned probing
+# ---------------------------------------------------------------------------
+
+def ivf_write(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus IVF-partitioned: one parquet partition per
+    coarse cell (`cell=<id>/` directories). This is the 100 TB layout
+    the probe path assumes — `ivf_topk_at_rest` then reads only the
+    probed cells via PARTITION PRUNING, so a query touches
+    ~nprobe/n_cells of the files instead of filtering a full scan.
+    Write cost is one scan + one shuffle on `cell`."""
+    assign1 = _cell_assign_udf(centroids, 1)
+    (
+        corpus.select(
+            id_col, vec_col,
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        )
+        # co-locate each cell's rows so every partition dir holds few,
+        # large files rather than one shard per upstream task
+        .repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k against an `ivf_write` layout: the probed cell ids
+    become a partition-column IN-filter, which Spark resolves at
+    PLANNING time against the directory listing — unprobed cells are
+    never opened (check `.explain`: the scan's `PartitionFilters`
+    carries `cell IN (...)` and the file count drops accordingly)."""
+    corpus = spark.read.parquet(path)
+    assignp = _cell_assign_udf(centroids, nprobe)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+            F.explode(assignp(F.col(vec_col))).alias("cell"),
+        )
+    )
+    cand = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"), "cell")
+        .join(q, "cell")
+        .withColumn(
+            "cos_sim",
+            round2(cosine(F.col("_cvec"), F.col("_qvec")).cast("double"), 9, 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
