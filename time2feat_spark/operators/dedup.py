@@ -66,20 +66,13 @@ def dedup_resolve(
     return df.join(keepers.select(id_col), id_col, "left_semi")
 
 
-def minhash_signature(
-    df: DataFrame,
-    text_col: str = "text",
-    num_perm: int = 64,
-    shingle_k: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """Add a `minhash` array<long> column via one-permutation hashing
-    (Li/Owen/Zhang, NIPS 2012): shingles are hashed ONCE JVM-side
-    (xxhash64 transform), then a vectorized Arrow UDF scatter-mins them
-    into num_perm buckets (h mod num_perm) with circular densification
-    for empty buckets. One pass over the shingles instead of num_perm
-    passes — the classic k-permutation form costs 64x the hashing and
-    blows up whole-stage codegen."""
+def _oph_udf(num_perm: int):
+    """Vectorized one-permutation-hashing reducer (Li/Owen/Zhang, NIPS
+    2012): scatter-min hashed shingles into num_perm buckets
+    (h mod num_perm) with circular densification for empty buckets. One
+    Arrow pass over the shingles instead of num_perm passes — the
+    classic k-permutation form costs 64x the hashing and blows up
+    whole-stage codegen."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -103,12 +96,27 @@ def minhash_signature(
                 sig[empty, col] = sig[empty, prev]
         return pd.Series(list(sig))
 
+    return oph
+
+
+def _seeded(shingle_hashes: Column, seed: int) -> Column:
     # seed folded into the shingle hash so signatures are a seeded family
-    sh = F.transform(
-        _shingles(F.col(text_col), shingle_k),
-        lambda h: F.xxhash64(F.lit(seed), h),
+    return F.transform(
+        shingle_hashes, lambda h: F.xxhash64(F.lit(seed), h)
     )
-    return df.withColumn("minhash", oph(sh))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a `minhash` array<long> column: shingles hashed ONCE JVM-side
+    (xxhash64 transform), reduced by the vectorized OPH pass."""
+    sh = _seeded(_shingles(F.col(text_col), shingle_k), seed)
+    return df.withColumn("minhash", _oph_udf(num_perm)(sh))
 
 
 def minhash_lsh_buckets(
@@ -153,14 +161,42 @@ def minhash_near_duplicates(
     seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified with exact shingle-set
-    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    # self-joined below: materialize once (signature pipeline is the
-    # expensive part). localCheckpoint, not cache: blocks are reclaimed
-    # by the ContextCleaner when the result goes out of scope, so
-    # repeated calls in a long session don't accrete executor storage.
-    buckets = minhash_lsh_buckets(
-        df, text_col, id_col, num_perm, bands, shingle_k, seed
-    ).localCheckpoint(eager=True)
+    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shingles are generated + hashed ONCE (r3): the distinct shingle-hash
+    sets feed both the OPH signature (after the cheap per-hash
+    re-seeding) and the exact-Jaccard verify, instead of re-walking
+    every substring twice. localCheckpoint, not cache, for the shared
+    intermediates: blocks are reclaimed by the ContextCleaner, so
+    repeated calls in a long session don't accrete executor storage.
+    OPH over the distinct set equals OPH over the multiset (bucket
+    minima are set functions), and |distinct seeded| == |distinct raw|,
+    so signatures, candidates, and jaccards are unchanged."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shset"),
+    ).localCheckpoint(eager=True)  # shared: signature + both verify sides
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = sh.select(
+        "id", _oph_udf(num_perm)(_seeded(F.col("shset"), seed)).alias("minhash")
+    )
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(
+                    F.slice(F.col("minhash"), bi * r + 1, r).cast("string")
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = (
+        sig.select("id", F.explode(band_rows).alias("b"))
+        .select("id", "b.band_id", "b.band_hash")
+        .localCheckpoint(eager=True)  # self-joined below
+    )
     pairs = (
         buckets.alias("x")
         .join(
@@ -172,10 +208,6 @@ def minhash_near_duplicates(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("shset"),
-    ).localCheckpoint(eager=True)  # joined twice (both pair sides)
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sb"), "id_b")
