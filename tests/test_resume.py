@@ -153,3 +153,32 @@ def test_salted_write_spreads_hot_source(spark, tmp_path):
     LadderJob(spark, inp, out, CFG, rows_per_task=50).run()
     hot_files = glob.glob(f"{out}/source=src_0/tier=1m/window_day=*/part-*.parquet")
     assert len(hot_files) >= 3, f"expected salted parallel files, got {len(hot_files)}"
+
+
+def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
+    """plans/compaction: after a salted run plus an incremental append,
+    leaves hold many small files; compact_all must reduce to
+    files_per_partition per leaf and leave the table contents
+    bit-identical."""
+    from time2feat_spark.plans.compaction import _parquet_files, compact_all
+
+    inp = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    _write_input(spark, inp, 300)
+    job = LadderJob(spark, inp, out, CFG, rows_per_task=40)  # heavy salting
+    job.run()
+    # incremental append piles more files into the same leaves
+    spark.createDataFrame(gen_pandas(300, 420)).write.mode("append").parquet(inp)
+    job.run(incremental=True)
+
+    before_files = len(_parquet_files(out))
+    before = _table(spark, out)
+    res = compact_all(spark, out, files_per_partition=1)
+    after_files = len(_parquet_files(out))
+    assert after_files < before_files, (before_files, after_files)
+    assert all(r["files_after"] <= r["files_before"] for r in res.values())
+    after = _table(spark, out)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent: second pass is a no-op
+    res2 = compact_all(spark, out, files_per_partition=1)
+    assert all(r["rows"] is None for r in res2.values())
