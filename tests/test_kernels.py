@@ -13,6 +13,8 @@ import pytest
 from time2feat_spark.functions.kernels import ROLLUP_FEATURES
 from time2feat_spark.operators.rollup import stats_ragged
 
+from hypothesis import given, settings, strategies as st
+
 from scalar_oracle import all_features
 
 RNG = np.random.default_rng(42)
@@ -122,3 +124,43 @@ def _vectorized_features(win, feats):
     flat = win.astype(np.float64)
     st = stats_ragged(flat, np.array([0]), np.array([len(flat)]), feats)
     return {k: float(v[0]) for k, v in st.items()}
+
+
+# ---- round-3: the full change_quantiles family, property-based --------
+
+_CQ_ALL = [
+    f"change_q_{int(ql*10)}_{int(qh*10)}_{int(b)}_{agg}"
+    for ql in (0.0, 0.2, 0.4, 0.6, 0.8)
+    for qh in (0.2, 0.4, 0.6, 0.8, 1.0)
+    for b in (False, True)
+    for agg in ("mean", "var")
+    if ql < qh
+] + [
+    f"change_q_0_10_{int(b)}_{agg}"
+    for b in (False, True)
+    for agg in ("std", "median")
+]
+
+
+@given(
+    st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_change_quantiles_full_grid_property(vals):
+    """All 64 registry cells (60 settings-grid + 4 bridge) against the
+    independent scalar oracle on arbitrary float windows."""
+    win = np.asarray(vals, dtype=np.float64)
+    got = _vectorized_features(win, _CQ_ALL)
+    want = all_features(win, _CQ_ALL)
+    for name in _CQ_ALL:
+        g, w = got[name], want[name]
+        if np.isnan(w):
+            assert np.isnan(g), name
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (
+                f"{name}: {g} != {w}"
+            )

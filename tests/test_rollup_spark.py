@@ -202,3 +202,40 @@ def test_rollup_points_matches_sequences_semantics(spark):
         w = want[col].to_numpy().astype(np.float64)
         both_nan = np.isnan(g) & np.isnan(w)
         assert np.all(both_nan | (g == w)), col
+
+
+def test_rollup_points_edge_inputs(spark):
+    """Edge shapes through the streaming flush: empty input, all-null/
+    NaN values (filtered scan-side), and a single surviving point."""
+    from time2feat_spark.operators.rollup import RollupConfig, rollup_points
+
+    cfg = RollupConfig(
+        tiers=[("1h", 3600), ("1d", 86400)], include_raw=False,
+        compress=False, features=["variance", "median"],
+    )
+    schema = "key string, ts timestamp, value double"
+    empty = spark.createDataFrame([], schema)
+    assert rollup_points(empty, ["key"], "ts", "value", cfg).count() == 0
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "a", "b"],
+                "ts": [t0, t0 + pd.Timedelta("1h"), t0],
+                "value": [None, float("nan"), None],
+            }
+        ),
+        schema,
+    )
+    assert rollup_points(junk, ["key"], "ts", "value", cfg).count() == 0
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"key": ["a"], "ts": [t0], "value": [2.5]}), schema
+    )
+    out = rollup_points(one, ["key"], "ts", "value", cfg).toPandas()
+    assert len(out) == 2  # one 1h window + one 1d window
+    assert (out["count"] == 1).all() and (out["mean"] == 2.5).all()
+    assert out.loc[out.tier == "1h", "window_start_ms"].iloc[0] == int(
+        t0.value // 10**6
+    )
