@@ -1090,11 +1090,14 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
-def _ivf_cents(sf_dir: str):
+def _ivf_cents(sf_dir: str, _cache: dict = {}):
     """Deterministic Spark-free IVF quantizer: numpy k-means (seeded)
     over the first 2000 vec_id-sorted unit vectors of the corpus — both
     the Spark query and the SQL oracle derive from the same parquet, so
-    the trained centroids are bit-identical on both sides."""
+    the trained centroids are bit-identical on both sides. Memoized per
+    sf_dir (oracle_sql() and repeated query calls share the training)."""
+    if sf_dir in _cache:
+        return _cache[sf_dir]
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1112,6 +1115,7 @@ def _ivf_cents(sf_dir: str):
     )[:2000]
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     centers, _ = kmeans(X, _IVF_CELLS, seed=42, n_init=3)
+    _cache[sf_dir] = centers
     return centers
 
 
