@@ -182,3 +182,40 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
     # idempotent: second pass is a no-op
     res2 = compact_all(spark, out, files_per_partition=1)
     assert all(r["rows"] is None for r in res2.values())
+
+
+def test_read_tier_range_prunes_partitions(spark, tmp_path):
+    """read_tier_range must equal a full-scan filter AND carry the
+    window_day bound as a partition filter (pruned at planning time)."""
+    inp = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    _write_input(spark, inp, 200)
+    job = LadderJob(spark, inp, out, CFG)
+    job.run()
+
+    import pyspark.sql.functions as SF2
+
+    full = job.read_output()
+    lo = full.where(SF2.col("tier") == "1m").agg(
+        SF2.min(SF2.unix_millis("window_start"))
+    ).first()[0]
+    t0 = int(lo) + 60_000  # one minute past the earliest window
+    t1 = t0 + 7_200_000
+    got = job.read_tier_range("1m", t0, t1).select(
+        "source", "doc_id", "window_start", "count"
+    ).toPandas().sort_values(["source", "doc_id", "window_start"])
+    import pyspark.sql.functions as SF
+
+    want = full.where(
+        (SF.col("tier") == "1m")
+        & (SF.unix_millis("window_start") >= t0)
+        & (SF.unix_millis("window_start") < t1)
+    ).select("source", "doc_id", "window_start", "count").toPandas(
+    ).sort_values(["source", "doc_id", "window_start"])
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.reset_index(drop=True) == want.reset_index(drop=True)).all().all()
+    plan = job.read_tier_range("1m", t0, t1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan and "window_day" in plan.split(
+        "PartitionFilters"
+    )[1][:300]

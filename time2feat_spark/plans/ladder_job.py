@@ -162,3 +162,29 @@ class LadderJob:
         return self.spark.read.option("basePath", self.out_root).parquet(
             self.out_root
         )
+
+    def read_tier_range(
+        self,
+        tier: str,
+        start_ms: int,
+        end_ms: int,
+        sources: list[str] | None = None,
+    ) -> DataFrame:
+        """Windows of one tier whose window_start falls in
+        [start_ms, end_ms). The time bound is applied TWICE: once on the
+        `window_day` PARTITION column (resolved against the directory
+        listing at planning time — days outside the range are never
+        opened; at 100 TB this is the difference between reading two
+        days and scanning a year) and once exactly on window_start.
+        `sources` adds source-partition pruning the same way."""
+        lo_day = start_ms // 86_400_000
+        hi_day = (end_ms - 1) // 86_400_000
+        df = self.read_output().where(
+            (F.col("tier") == tier)
+            & F.col("window_day").between(lo_day, hi_day)
+            & (F.unix_millis("window_start") >= start_ms)
+            & (F.unix_millis("window_start") < end_ms)
+        )
+        if sources is not None:
+            df = df.where(F.col("source").isin(sources))
+        return df
