@@ -22,6 +22,7 @@ def fmt(spark, df):
     tree, _, details = p.partition("\n\n")
     keep = []
     for block in details.split("\n\n"):
+        block = block.strip("\n")
         head = block.split("\n")[0]
         if "Scan parquet" in head:
             lines = [
