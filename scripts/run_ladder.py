@@ -41,6 +41,14 @@ def main() -> None:
         "keeps a tier indefinitely (e.g. raw=7,1m=90,1h=730,1d=forever). "
         "Enforced after the run as pure window_day partition drops.",
     )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run (and retention), rewrite each source's "
+        "(tier, window_day) leaves to one file each — the small-file "
+        "maintenance pass for salted/incremental writes (on Iceberg use "
+        "rewrite_data_files instead).",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +75,10 @@ def main() -> None:
         res["retention"] = enforce_retention(
             args.output, RetentionPolicy(ages), int(time.time() * 1000)
         )
+    if args.compact:
+        from time2feat_spark.plans.compaction import compact_all
+
+        res["compaction"] = compact_all(spark, args.output)
     print(json.dumps(res))
 
 
