@@ -946,6 +946,31 @@ SQL_MINHASH_NEAR_DUPS = _SQL_SHINGLE_JACCARD.format(
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: (doc_id,
+    cluster_id = min id of the component) — the cluster-granular resolve
+    step between LSH pair generation and canonical-doc selection.
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    exact-Jaccard pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(d, min_jaccard=0.5)
+    return D.near_duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE p AS ({SQL_MINHASH_NEAR_DUPS}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash with the cross-engine md5 hash family (60 bits) so the
     DuckDB oracle replicates the bit votes exactly."""
@@ -1628,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_resolve": q_dedup_resolve,
+        "dedup_clusters": q_dedup_clusters,
         "token_topk": q_token_topk,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -1683,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": SQL_DISTINCT_COUNTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_resolve": SQL_DEDUP_RESOLVE,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "token_topk": sql_token_topk("sf0.01"),
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -54,3 +54,25 @@ def test_selection_driver_bound_trips(spark):
     # under the bound it runs
     out = pfa_select(df, ["f1", "f2"], max_driver_rows=1000)
     assert set(out) <= {"f1", "f2"} and out
+
+
+def test_near_duplicate_clusters_components(spark):
+    """Min-label propagation over a chain (needs multiple rounds), a
+    triangle, and an isolated pair — cluster_id = min id per component."""
+    from time2feat_spark.operators.dedup import near_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (2, 3), (3, 4), (4, 5), (5, 6),   # chain: min 2
+            (10, 11), (11, 12), (10, 12),     # triangle: min 10
+            (20, 21),                         # pair: min 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_duplicate_clusters(pairs).collect()
+    }
+    want = {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20}
+    assert got == want

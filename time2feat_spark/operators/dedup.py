@@ -327,3 +327,70 @@ def simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of a XOR b via bit_count (Spark 3.3+)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def near_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    for every doc appearing in a pair, cluster_id = min doc id of its
+    component — the step between pair generation (minhash/embedding
+    near-dups) and canonical-doc selection that curation pipelines
+    actually act on (drop all but one doc per CLUSTER, not per pair).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup components are short chains/cliques, so
+    this is 2-4 rounds in practice, each one join + one groupBy.
+    Intermediates are localCheckpoint-ed per round (lineage would
+    otherwise double every iteration). At 100 TB the edge list is the
+    (banding-bounded) pair set, orders of magnitude smaller than the
+    corpus."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.select(F.col("id"), F.col("label").alias("_new"))
+            .join(labels.select("id", F.col("label").alias("_old")), "id")
+            .where(F.col("_new") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
