@@ -76,3 +76,21 @@ def test_near_duplicate_clusters_components(spark):
     want = {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 10: 10, 11: 10, 12: 10,
             20: 20, 21: 20}
     assert got == want
+
+
+def test_near_duplicate_clusters_nonconvergence_is_loud(spark):
+    """A chain whose diameter exceeds max_iter must RAISE, not silently
+    return partially-propagated (wrong) cluster ids."""
+    from time2feat_spark.operators.dedup import near_duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_duplicate_clusters(chain, max_iter=3).collect()
+    # the same chain converges with enough rounds
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_duplicate_clusters(chain, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(13)}

@@ -168,9 +168,13 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
         emb, queries, cents, k=10, nprobe=2
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert got.equals(want)
-    # partition pruning evidence: the pushed filter mentions the cell
-    # partition column (resolved against the directory listing)
+    # partition pruning evidence: the probed cells are a STATIC literal
+    # `cell IN (...)` in the scan's PartitionFilters (resolved against
+    # the directory listing at planning time — never reliant on dynamic
+    # partition pruning happening to trigger)
     plan = S.ivf_topk_at_rest(
         spark, path, queries, cents, k=10, nprobe=2
     )._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in part_filters and "IN (" in part_filters.upper()

@@ -391,6 +391,18 @@ def near_duplicate_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: returning silently
+        # would hand back WRONG cluster_ids for any component whose
+        # diameter exceeds max_iter. Real near-dup graphs converge in
+        # 2-4 rounds, so this is a guard for pathological chains — fail
+        # loud, let the caller raise max_iter deliberately.
+        raise RuntimeError(
+            f"near_duplicate_clusters did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); the pair graph "
+            "contains a component with diameter > max_iter — rerun with "
+            "a larger max_iter"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

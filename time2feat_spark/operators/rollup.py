@@ -509,6 +509,13 @@ def rollup_points(
         # ~flush_rows buffer (one vectorized pass), not once per batch.
         buf: list[pd.DataFrame] = []
         buf_rows = 0
+        # key tuple of the group known to fill the tail of the buffer.
+        # While the newest batch still ends on this key, the sorted order
+        # guarantees the WHOLE batch belongs to it, so a flush attempt
+        # would find cut == 0 — skip the concat + key scan entirely.
+        # Without this, one group of size G >> flush_rows costs
+        # O(G^2 / batch) re-concatenation; with it, O(G).
+        open_key = None
 
         def concat(frames):
             return frames[0] if len(frames) == 1 else pd.concat(
@@ -523,9 +530,12 @@ def rollup_points(
         for pdf in batches:
             if not len(pdf):
                 continue
+            last = tuple(pdf[c].iloc[-1] for c in group_cols)
             buf.append(pdf)
             buf_rows += len(pdf)
             if buf_rows >= flush_rows:
+                if open_key is not None and last == open_key:
+                    continue
                 whole = concat(buf)
                 # rows are sorted by group key, so the (possibly still
                 # open) trailing group is the run equal to the last
@@ -538,6 +548,7 @@ def rollup_points(
                 cut = int(not_eq[-1]) + 1 if len(not_eq) else 0
                 tail = whole.iloc[cut:]
                 buf, buf_rows = [tail], len(tail)
+                open_key = last
                 if cut > 0:
                     yield roll(whole.iloc[:cut])
         if buf_rows:

@@ -391,7 +391,12 @@ def ivf_topk_at_rest(
     become a partition-column IN-filter, which Spark resolves at
     PLANNING time against the directory listing — unprobed cells are
     never opened (check `.explain`: the scan's `PartitionFilters`
-    carries `cell IN (...)` and the file count drops accordingly)."""
+    carries `cell IN (...)` and the file count drops accordingly).
+
+    The query side is small by contract (it is broadcast), so the probed
+    cells are computed DRIVER-side and applied as a literal `isin` on the
+    partition column — guaranteed static pruning, never dependent on
+    dynamic partition pruning triggering at runtime."""
     corpus = spark.read.parquet(path)
     assignp = _cell_assign_udf(centroids, nprobe)
     q = F.broadcast(
@@ -400,8 +405,12 @@ def ivf_topk_at_rest(
             F.explode(assignp(F.col(vec_col))).alias("cell"),
         )
     )
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
     cand = (
         corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"), "cell")
+        .where(F.col("cell").isin(probed))
         .join(q, "cell")
         .withColumn(
             "cos_sim",

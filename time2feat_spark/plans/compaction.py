@@ -70,15 +70,31 @@ def compact_source(
     old = f"{out_root}/.old__source={source}"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    src_rows = df.count()
     (
         df.repartition(max(target_files, 1), *keys)
         .write.mode("overwrite")
         .partitionBy("tier", "window_day")
         .parquet(tmp)
     )
+    # verify BEFORE touching the source: a silent row loss in the rewrite
+    # (partition-inference drift, schema drift) must abort with the
+    # original tree intact, never become permanent
     rows = spark.read.parquet(tmp).count()
+    if rows != src_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction rewrite of {path} produced {rows} rows, "
+            f"source has {src_rows}; aborted, source left untouched"
+        )
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # crash window between the two renames: restore the source so the
+        # table is never left hidden under a dot-prefixed dir
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
     return {
         "files_before": len(before),

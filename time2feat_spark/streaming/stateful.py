@@ -13,8 +13,13 @@ tests/test_streaming_stateful.py against the batch operator). Exact
 parity under out-of-order arrival additionally requires a watermark
 delay >= the true disorder bound: an event older than the watermark is
 dropped by Spark before the state function sees it, and a gap-closed
-session cannot reopen. Events inside the watermark that merge into the
-open session are handled exactly (including lowering session_start_ms).
+session cannot reopen. Events inside the watermark are handled exactly:
+ones within the gap of the open session merge (lowering
+session_start_ms when they predate it), and ones MORE than the gap
+before the open session's start form their own earlier session(s) —
+gap-split among themselves, bridged into the open session only when the
+run actually reaches within the gap — matching the batch rule instead
+of silently widening the open session past its gap bound.
 
 Scale posture: state is one tiny tuple per ACTIVE key (not per event);
 the shuffle is the standard streaming groupBy(key) exchange; Arrow
@@ -105,15 +110,41 @@ def streaming_sessionize(
         else:
             start, end, n, s = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
         closed = []
-        for t, v in zip(ts_ms, vals):
+
+        # Out-of-order events (inside the watermark) that predate the
+        # open session's start must NOT be blindly min()-merged: an event
+        # with t + gap < start belongs to an EARLIER session under the
+        # batch gap rule. Build the early sessions first (gap-splitting
+        # among themselves), then merge the stored open session with the
+        # last early session only if they are within the gap — exact
+        # batch parity for everything the watermark lets through.
+        k = 0
+        if n > 0:
+            e_start = e_end = None
+            e_n, e_s = 0, 0.0
+            while k < len(ts_ms) and int(ts_ms[k]) < start:
+                t = int(ts_ms[k])
+                if e_n > 0 and t - e_end > gap_ms:
+                    closed.append((key[0], e_start, e_end, e_n, e_s, "gap"))
+                    e_n, e_s = 0, 0.0
+                e_start = t if e_n == 0 else e_start
+                e_end = t
+                e_n += 1
+                e_s += float(vals[k])
+                k += 1
+            if e_n > 0:
+                if start - e_end <= gap_ms:
+                    # bridge: the early run reaches the open session
+                    start, n, s = e_start, n + e_n, s + e_s
+                else:
+                    closed.append((key[0], e_start, e_end, e_n, e_s, "gap"))
+
+        for t, v in zip(ts_ms[k:], vals[k:]):
             t = int(t)
             if n > 0 and t - end > gap_ms:
                 closed.append((key[0], start, end, n, s, "gap"))
                 n, s = 0, 0.0
-            # an out-of-order event (above watermark) that merges into
-            # the open session may predate its recorded start — take the
-            # min so session_start_ms is the true earliest event time
-            start = t if n == 0 else min(start, t)
+            start = t if n == 0 else start
             end = max(end, t)
             n += 1
             s += float(v)
