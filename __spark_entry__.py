@@ -1200,6 +1200,36 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
 
+def _ivf_layout(spark, sf_dir: str) -> str:
+    """Materialize the cell-partitioned IVF layout for this sf once
+    (ivf_write: `cell=<id>/` parquet partitions under the repo cache).
+    Rebuilt only when absent; both repeated query calls and tests share
+    it. This is the at-rest layout the 100 TB probe path depends on."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{SEQ_CACHE}/ivf_{base}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        emb = _emb_double(_t(spark, sf_dir, "embeddings"))
+        S.ivf_write(emb, _ivf_cents(sf_dir), path)
+    return path
+
+
+def q_ivf_topk_at_rest(spark, sf_dir):
+    """IVF top-k probing the AT-REST cell-partitioned layout: the probed
+    cells are applied as a literal partition-column isin, so the scan's
+    PartitionFilters carries `cell IN (...)` and only ~nprobe/n_cells of
+    the files are opened (planning-time pruning — the 100 TB read path).
+    Same centroids/queries/k/nprobe as `ivf_topk`, so the result — and
+    the DuckDB oracle — are identical to the in-memory path."""
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = _ivf_layout(spark, sf_dir)
+    return S.ivf_topk_at_rest(
+        spark, path, queries, _ivf_cents(sf_dir), k=10, nprobe=_IVF_NPROBE
+    )
+
+
 def q_ladder_full(spark, sf_dir):
     """Full sequences ladder with Gorilla compression — the flagship
     (rows-only: binary blocks have no SQL equivalent)."""
@@ -1438,50 +1468,139 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
 """
 
 
-def q_image_features_stub(spark, sf_dir):
-    """Multimodal plumbing: documents' bytes as opaque media blobs."""
+# One gate query covering all three multimodal operators, projecting only
+# what an external SQL oracle can replicate (VERDICT r3 items 1-3):
+# - image: the operator's n_bytes (through the JVM-digest + mapInPandas
+#   path) plus a cross-engine md5_64 blob digest; the pseudo-decode
+#   pixel stats stay pinned by pytest goldens (not SQL-replicable).
+# - audio: the REAL PCM-WAV decode path (stdlib `wave`) over WAV blobs
+#   built deterministically from documents.text — 8-bit mono PCM, so the
+#   per-frame RMS is a windowed byte expression DuckDB replicates.
+# - video: the ragged frame-sampling schedule (every_k, max_frames)
+#   depends only on blob size, so the emitted (doc, frame_idx) set is
+#   SQL-replicable even though the splitmix64 pixel stats are not.
+_WAV_PAYLOAD = 1024   # fixed PCM size -> the 44-byte RIFF header is constant
+_WAV_FRAME = 128      # 1024/128 = 8 frames per doc
+_VIDEO_REPEAT = 40    # text repeated so blob sizes straddle frame boundaries
+
+
+def _wav_header(data_size: int, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE header for 8-bit mono PCM (stdlib-parseable, no codec)."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8
+        )
+        + b"data" + struct.pack("<I", data_size)
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from time2feat_spark.functions.hashing import md5_64
     from time2feat_spark.operators.multimodal import (
         attach_media_meta,
+        audio_frame_stats,
         image_features,
+        video_frame_sample,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+    docs = _t(spark, sf_dir, "documents")
+    blob = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+
+    img = image_features(attach_media_meta(blob, "image", "png", 64, 64))
+    digests = blob.select(
+        "doc_id", md5_64(F.col("media")).alias("digest")
     )
-    d = attach_media_meta(d, "image", "png", 64, 64)
-    out = image_features(d)
-    # scalars only: the driver's canonicalizer can't sort array cells, so
-    # the thumbnail vector is exposed as a deterministic digest
-    return out.select(
-        "doc_id", "n_bytes",
-        _r4(F.col("mean_px")).alias("mean_px"),
-        _r4(F.col("std_px")).alias("std_px"),
-        F.md5(F.concat_ws(",", F.col("thumb_vec").cast("array<string>")))
-        .alias("thumb_hash"),
+    image_rows = (
+        img.select("doc_id", "n_bytes")
+        .join(F.broadcast(digests), "doc_id")
+        .select(
+            "doc_id",
+            F.lit("image").alias("modality"),
+            F.lit(0).cast("int").alias("frame"),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("digest"),
+        )
     )
 
-
-def q_audio_frames_stub(spark, sf_dir):
-    from time2feat_spark.operators.multimodal import audio_frame_stats
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_wav_header(_WAV_PAYLOAD)),
+            F.encode(
+                F.rpad(
+                    F.substring("text", 1, _WAV_PAYLOAD), _WAV_PAYLOAD, " "
+                ),
+                "utf-8",
+            ),
+        ).alias("media"),
     )
-    return audio_frame_stats(d)
-
-
-def q_video_frames_stub(spark, sf_dir):
-    from time2feat_spark.operators.multimodal import video_frame_sample
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+    audio_rows = audio_frame_stats(
+        wav, frame_len=_WAV_FRAME, max_frames=16, deterministic_fake=False
+    ).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("frame").cast("int").alias("frame"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        _r4(F.col("rms")).alias("value"),
+        F.lit(None).cast("long").alias("digest"),
     )
-    out = video_frame_sample(d, every_k=2, max_frames=4)
-    return out.select(
-        "doc_id", "frame_idx",
-        _r4(F.col("mean_px")).alias("mean_px"),
-        _r4(F.col("std_px")).alias("std_px"),
+
+    vid_blob = docs.select(
+        "doc_id",
+        F.encode(F.repeat(F.col("text"), _VIDEO_REPEAT), "utf-8").alias(
+            "media"
+        ),
     )
+    video_rows = video_frame_sample(
+        vid_blob, every_k=2, max_frames=4
+    ).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.col("frame_idx").cast("int").alias("frame"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("digest"),
+    )
+    return image_rows.unionByName(audio_rows).unionByName(video_rows)
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH img AS (
+  SELECT doc_id, 'image' AS modality, CAST(0 AS INT) AS frame,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(NULL AS DOUBLE) AS value,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS digest
+  FROM documents),
+pad AS (
+  SELECT doc_id,
+         substr(text || repeat(' ', {_WAV_PAYLOAD}), 1, {_WAV_PAYLOAD}) AS p
+  FROM documents),
+pos AS (SELECT CAST(range AS INT) AS i FROM range(1, {_WAV_PAYLOAD + 1})),
+aud AS (
+  SELECT doc_id, 'audio' AS modality,
+         CAST((i - 1) // {_WAV_FRAME} AS INT) AS frame,
+         CAST(NULL AS BIGINT) AS n_bytes,
+         round(round(sqrt(avg(
+           pow((ord(substr(p, i, 1)) - 128.0) / 128.0, 2))), 7), 4) AS value,
+         CAST(NULL AS BIGINT) AS digest
+  FROM pad, pos
+  GROUP BY doc_id, (i - 1) // {_WAV_FRAME}),
+vid AS (
+  SELECT doc_id, 'video' AS modality,
+         CAST(unnest(range(0, ns)) * 2 AS INT) AS frame,
+         CAST(NULL AS BIGINT) AS n_bytes,
+         CAST(NULL AS DOUBLE) AS value,
+         CAST(NULL AS BIGINT) AS digest
+  FROM (SELECT doc_id,
+               least((greatest(octet_length(encode(text)) * {_VIDEO_REPEAT}
+                               // 4096, 1) + 1) // 2, 4) AS ns
+        FROM documents))
+SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+"""
 
 
 
@@ -1667,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_at_rest": q_ivf_topk_at_rest,
         "ladder_full": q_ladder_full,
         "ladder_tier_counts": q_ladder_tier_counts,
         "ladder_decode_roundtrip": q_ladder_decode_roundtrip,
@@ -1675,9 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_distances": q_pair_distances,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
-        "image_features_stub": q_image_features_stub,
-        "audio_frames_stub": q_audio_frames_stub,
-        "video_frames_stub": q_video_frames_stub,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1720,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
+        "ivf_topk_at_rest": _sql_ivf_topk(),
         "anova_f": SQL_ANOVA_F,
         "anova_pvalue_rank": SQL_ANOVA_PVALUE_RANK,
         "pair_distances": SQL_PAIR_DISTANCES,
@@ -1728,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "winnowing_fingerprints": SQL_WINNOWING,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "ladder_tier_counts": sql_ladder_tier_counts("sf0.01"),
         "ladder_decode_roundtrip": sql_ladder_decode_roundtrip("sf0.01"),
     }
