@@ -184,6 +184,45 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
     assert all(r["rows"] is None for r in res2.values())
 
 
+def test_run_compact_postpass(spark, tmp_path):
+    """run(compact=True) owns the small-file fix at the production entry
+    point: after an incremental append, every leaf of each processed
+    source holds <= files_per_partition files, the data is unchanged,
+    and the rewrite is recorded in the manifest (status='compacted',
+    namespaced unit key so unit state/watermarks are untouched)."""
+    import glob
+    import os
+
+    inp = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    _write_input(spark, inp, 300)
+    job = LadderJob(spark, inp, out, CFG, rows_per_task=40)  # heavy salting
+    job.run(incremental=True)
+    before = _table(spark, out)
+    spark.createDataFrame(gen_pandas(300, 420)).write.mode("append").parquet(inp)
+    r = LadderJob(spark, inp, out, CFG, rows_per_task=40).run(
+        incremental=True, compact=True, files_per_partition=1
+    )
+    assert r["processed"] and "compaction" in r
+    # every leaf of every processed source is at the target file count
+    for unit in r["processed"]:
+        for leaf in glob.glob(f"{out}/{unit}/tier=*/window_day=*"):
+            files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+            assert len(files) <= 1, (leaf, files)
+    # data identical to an uninterrupted non-compacted rebuild
+    ref = LadderJob(spark, inp, str(tmp_path / "ref"), CFG)
+    ref.run()
+    pd.testing.assert_frame_equal(_table(spark, out), _table(spark, str(tmp_path / "ref")))
+    assert len(_table(spark, out)) > len(before)
+    # manifest records the rewrite without disturbing unit state
+    recs = Manifest(out).records()
+    crec = [r2 for r2 in recs if r2.status == "compacted"]
+    assert crec and all(r2.unit.startswith("compaction:source=") for r2 in crec)
+    # unit state intact: a rerun still skips everything
+    r3 = LadderJob(spark, inp, out, CFG).run(incremental=True)
+    assert not r3["processed"] and r3["pending"] == 0
+
+
 def test_read_tier_range_prunes_partitions(spark, tmp_path):
     """read_tier_range must equal a full-scan filter AND carry the
     window_day bound as a partition filter (pruned at planning time)."""

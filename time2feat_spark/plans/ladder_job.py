@@ -58,9 +58,17 @@ class LadderJob:
         self,
         incremental: bool = False,
         max_units: int | None = None,
+        compact: bool = False,
+        files_per_partition: int = 1,
     ) -> dict:
         """Process all pending units; returns run metrics. ``max_units``
-        stops early (used by resume tests to simulate a crash)."""
+        stops early (used by resume tests to simulate a crash).
+
+        ``compact=True`` runs small-file compaction over the units this
+        run actually wrote, as a post-pass: incremental appends and
+        salted writes are the small-file generators, so the production
+        entry point owns the fix (each rewrite is verified row-count-
+        equal before the swap and recorded in the manifest)."""
         run_id = uuid.uuid4().hex[:8]
         snap = snapshot_id(self.input_path)
         seq = self.spark.read.parquet(self.input_path)
@@ -150,13 +158,48 @@ class LadderJob:
             self.manifest.append(rec)
             processed.append(unit)
 
-        return {
+        result = {
             "run_id": run_id,
             "snapshot": snap,
             "processed": processed,
             "skipped": skipped,
             "pending": len(units) - len(processed) - len(skipped),
         }
+        if compact:
+            from .compaction import compact_source
+
+            compacted = {}
+            for unit in processed:
+                source = unit.split("=", 1)[1]
+                t0 = time.time()
+                res = compact_source(
+                    self.spark, self.out_root, source, files_per_partition
+                )
+                compacted[source] = res
+                if res["rows"] is not None:  # an actual rewrite happened
+                    # unit key is namespaced so done_units()/watermarks()
+                    # (which key on the latest record per unit) never
+                    # mistake a compaction record for unit state
+                    self.manifest.append(
+                        UnitRecord(
+                            run_id=run_id,
+                            unit=f"compaction:source={source}",
+                            input_snapshot_id=snap,
+                            partition_range=(
+                                f"files {res['files_before']}"
+                                f"->{res['files_after']}"
+                            ),
+                            rollup_watermark="",
+                            rows_in=res["rows"],
+                            windows_out=res["rows"],
+                            points=0,
+                            bytes_compressed=0,
+                            wall_ms=int((time.time() - t0) * 1000),
+                            status="compacted",
+                        )
+                    )
+            result["compaction"] = compacted
+        return result
 
     def read_output(self) -> DataFrame:
         return self.spark.read.option("basePath", self.out_root).parquet(
