@@ -138,6 +138,46 @@ def test_parity_registry_matches_checked_in_tsfresh_grid():
     )
 
 
+def test_grid_family_counts_match_derivation_note():
+    """Round-3 VERDICT item 8: every family's cell count is pinned
+    against the derivation note (functions/GRID_DERIVATION.md — tsfresh
+    0.20 settings.py defaults + report Table 3 widths), so a future grid
+    correction must re-balance this arithmetic explicitly."""
+    from time2feat_spark.functions.tsfresh_grid import (
+        SIMPLE,
+        family_counts,
+    )
+
+    counts = family_counts()
+    assert len(SIMPLE) == 37
+    assert all(counts[f] == 1 for f in SIMPLE)
+    expected_param = {
+        "time_reversal_asymmetry_statistic": 3, "c3": 3, "cid_ce": 2,
+        "symmetry_looking": 20, "large_standard_deviation": 19,
+        "quantile": 8, "autocorrelation": 10, "agg_autocorrelation": 3,
+        "partial_autocorrelation": 10, "number_cwt_peaks": 2,
+        "number_peaks": 5, "binned_entropy": 1, "index_mass_quantile": 8,
+        "cwt_coefficients": 60, "spkt_welch_density": 3,
+        "ar_coefficient": 5, "change_quantiles": 64,  # 60 + 4 bridge
+        "fft_coefficient": 400, "fft_aggregated": 4, "value_count": 3,
+        "range_count": 3, "approximate_entropy": 5,
+        "friedrich_coefficients": 4, "max_langevin_fixed_point": 1,
+        "linear_trend": 5, "agg_linear_trend": 48,
+        "augmented_dickey_fuller": 3, "number_crossing_m": 3,
+        "energy_ratio_by_chunks": 10, "ratio_beyond_r_sigma": 10,
+        "count_above": 1, "count_below": 1, "lempel_ziv_complexity": 5,
+        "fourier_entropy": 5, "permutation_entropy": 5,
+        "query_similarity_count": 1, "matrix_profile": 6,
+        "mean_n_absolute_max": 1,
+    }
+    for fam, n in expected_param.items():
+        assert counts[fam] == n, (fam, counts[fam], n)
+    # nothing beyond the derived families, and the arithmetic lands on 787
+    assert set(counts) == set(SIMPLE) | set(expected_param)
+    assert sum(expected_param.values()) == 750
+    assert sum(counts.values()) == 37 + 750 == 787
+
+
 def test_pair_feature_width_matches_report_table3(spark, bm):
     pairs = extract_pair_features(bm).toPandas()
     # 8 metrics x C(6,2)=15 pairs = 120 per case (report Table 3, row BM)

@@ -156,11 +156,127 @@ def test_video_frame_sample_stub(spark):
     assert out.mean_px.between(0, 255).all()
 
 
+def _write_png_gray(arr: np.ndarray) -> bytes:
+    """Pure-python PNG writer (zlib + struct, both stdlib): 8-bit
+    grayscale, no filtering. Lets the PIL-branch test generate its own
+    fixture without needing PIL for the ENCODE side (round-3 VERDICT
+    item 9)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _write_bmp24(rgb: np.ndarray) -> bytes:
+    """Pure-python uncompressed 24-bpp BMP writer (struct only):
+    bottom-up rows, BGR byte order, 4-byte row padding."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for i in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[i, :, ::-1].astype(np.uint8).tobytes()  # BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    )
+    return header + rows
+
+
+def test_image_features_real_bmp_stdlib_decode(spark):
+    """REAL image decode with NO codec: uncompressed BMP parses with
+    stdlib struct (the image analogue of the PCM-WAV audio path), so
+    this runs in the sandbox. Truth is independent: a constant-color
+    image has mean = its luma and std 0; a half black / half white
+    16x16 has thumb mean 127.5 and per-pixel values {0, 255}."""
+    from time2feat_spark.operators.multimodal import image_features
+
+    const = np.zeros((16, 16, 3), dtype=np.uint8)
+    const[:, :] = (200, 100, 50)  # luma = (200*299+100*587+50*114)//1000
+    luma = (200 * 299 + 100 * 587 + 50 * 114) // 1000
+    halves = np.zeros((16, 16, 3), dtype=np.uint8)
+    halves[:, 8:] = 255  # left black, right white
+    df = spark.createDataFrame(
+        [("const", bytearray(_write_bmp24(const))),
+         ("halves", bytearray(_write_bmp24(halves)))],
+        "doc_id string, media binary",
+    )
+    out = (
+        image_features(df, deterministic_fake=False)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["const", "mean_px"] == float(luma)
+    assert out.loc["const", "std_px"] == 0.0
+    assert out.loc["halves", "mean_px"] == 127.5
+    tv = np.asarray(out.loc["halves", "thumb_vec"]).reshape(8, 8)
+    # thumb_vec is normalized to [0, 1]
+    assert (tv[:, :4] == 0.0).all() and (tv[:, 4:] == 1.0).all()
+    assert out.loc["const", "n_bytes"] == len(_write_bmp24(const))
+
+
+def test_bmp_top_down_and_8bpp_and_rejects_compressed():
+    """Decoder unit coverage: top-down rows (negative height), 8-bpp
+    grayscale, and a loud raise for compressed BMPs."""
+    import struct
+
+    from time2feat_spark.operators.multimodal import _decode_bmp_gray
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[0, :] = 255  # top row white
+    b = _write_bmp24(rgb)
+    g = _decode_bmp_gray(b)
+    assert g.shape == (4, 4) and (g[0] == 255).all() and (g[1:] == 0).all()
+    # negative height = top-down: flip the stored rows, same image
+    neg = bytearray(b)
+    struct.pack_into("<i", neg, 22, -4)
+    # rebuild pixel rows in top-down order
+    stride = 12  # 4 px * 3 bytes, already 4-byte aligned
+    rows = bytes(b[54:])
+    neg = bytes(neg[:54]) + b"".join(
+        rows[i * stride:(i + 1) * stride] for i in range(3, -1, -1)
+    )
+    assert (_decode_bmp_gray(neg) == g).all()
+    # 8-bpp grayscale
+    gray8 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    rows8 = b"".join(gray8[i].tobytes() for i in range(3, -1, -1))
+    hdr8 = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows8), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(rows8),
+                      2835, 2835, 0, 0)
+    )
+    assert (_decode_bmp_gray(hdr8 + rows8) == gray8).all()
+    # compressed (BI_RLE8) raises loudly
+    comp = bytearray(hdr8 + rows8)
+    struct.pack_into("<I", comp, 30, 1)
+    with pytest.raises(NotImplementedError, match="codec"):
+        _decode_bmp_gray(bytes(comp))
+
+
 def test_image_features_real_codec_path(spark):
     """Exercises image_features with deterministic_fake=False — the REAL
-    PIL decode branch. Skips where PIL is absent (this sandbox); any
-    environment with codecs validates the real path immediately
-    (round-3 VERDICT item 9)."""
+    PIL decode branch, on a PNG emitted by the pure-python writer above
+    (fixture generation needs no codec; only the DECODE needs PIL).
+    Skips where PIL is absent (this sandbox); any environment with
+    codecs validates the real path immediately (round-3 VERDICT item 9)."""
     pytest.importorskip("PIL")
     import io
 
@@ -173,13 +289,16 @@ def test_image_features_real_codec_path(spark):
     truth = {}
     for i in range(4):
         arr = rng.integers(0, 256, (16, 16), dtype=np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(arr, mode="L").save(buf, format="PNG")
-        rows.append((f"img{i}", bytearray(buf.getvalue())))
+        png = _write_png_gray(arr)
+        # sanity: PIL round-trips the generated PNG to the same pixels
+        assert (
+            np.asarray(Image.open(io.BytesIO(png))) == arr
+        ).all()
+        rows.append((f"img{i}", bytearray(png)))
         thumb = np.asarray(
             Image.fromarray(arr, mode="L").resize((8, 8)), dtype=np.float64
         ).reshape(64)
-        truth[f"img{i}"] = (len(buf.getvalue()), thumb.mean(), thumb.std())
+        truth[f"img{i}"] = (len(png), thumb.mean(), thumb.std())
     df = spark.createDataFrame(rows, "doc_id string, media binary")
     out = (
         image_features(df, deterministic_fake=False)

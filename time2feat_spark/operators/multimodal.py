@@ -3,7 +3,9 @@
 Media are opaque `binary` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages. Decode status per modality (round 3):
-- image: REAL branch via PIL behind `deterministic_fake=False`
+- image: REAL branch behind `deterministic_fake=False` — uncompressed
+  BMP decodes via stdlib struct+numpy (no codec, tested IN this
+  sandbox, r4), everything else routes to PIL
   (pytest.importorskip-tested — skips in this codec-less sandbox, runs
   anywhere PIL exists); the stub remains the default here.
 - audio: REAL branch for PCM WAV via the stdlib `wave` module — needs
@@ -108,6 +110,61 @@ def _with_media_digest(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _decode_bmp_gray(b: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED BMP (BI_RGB, 24-bpp BGR or 8-bpp gray) to a
+    float64 grayscale matrix using only stdlib struct + numpy — the
+    image analogue of the PCM-WAV audio path: a real, testable decode
+    with no external codec. Luma uses PIL's convert('L') integer
+    weights ((R*299 + G*587 + B*114) / 1000). Compressed BMPs and other
+    depths raise toward the PIL plug point."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} needs a real codec "
+            "(PIL) — stdlib path covers uncompressed 8/24-bpp only"
+        )
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    stride = ((bpp * width + 31) // 32) * 4
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    if bpp == 24:
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        # BGR byte order
+        gray = (
+            px[:, :, 2].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 0].astype(np.int64) * 114
+        ) // 1000
+    else:
+        gray = rows[:, :width].astype(np.int64)
+    if flip:
+        gray = gray[::-1]
+    return gray.astype(np.float64)
+
+
+def _resize_area(gray: np.ndarray, thumb: int) -> np.ndarray:
+    """Deterministic area-average resize to thumb x thumb (block means
+    over integer bin edges)."""
+    h, w = gray.shape
+    re = (np.arange(thumb + 1) * h) // thumb
+    ce = (np.arange(thumb + 1) * w) // thumb
+    out = np.empty((thumb, thumb), dtype=np.float64)
+    for i in range(thumb):
+        band = gray[re[i]:max(re[i + 1], re[i] + 1)]
+        for j in range(thumb):
+            out[i, j] = band[:, ce[j]:max(ce[j + 1], ce[j] + 1)].mean()
+    return out
+
+
 def image_features(
     df: DataFrame,
     blob_col: str = "media",
@@ -139,8 +196,6 @@ def image_features(
         def run_real(batches):
             import io
 
-            from PIL import Image  # noqa: import inside worker
-
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -149,6 +204,15 @@ def image_features(
                 for i, blob in enumerate(pdf[blob_col]):
                     b = bytes(blob)
                     nb[i] = len(b)
+                    if b[:2] == b"BM":
+                        # stdlib path: uncompressed BMP needs no codec
+                        # (runs and is tested in codec-less sandboxes)
+                        px[i] = _resize_area(
+                            _decode_bmp_gray(b), thumb
+                        ).reshape(n_px)
+                        continue
+                    from PIL import Image  # noqa: import inside worker
+
                     im = Image.open(io.BytesIO(b)).convert("L").resize(
                         (thumb, thumb)
                     )
