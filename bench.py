@@ -111,33 +111,43 @@ def run_ladder(spark, seq_path: str) -> dict:
 
 
 def run_default() -> dict:
+    import statistics
+
     import __spark_entry__ as E
 
     spark = _spark(CPUS)
     seq_path = _bench_sequences_path(spark)
     queries: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     # measure sustained throughput, not fork/JIT cold start
     spark.read.parquet(seq_path).count()
     _warm_python_workers(spark)
 
-    # best of 2 EVERYWHERE: the sandbox box is shared and ambient load
-    # causes 2x noise on identical code (measured r2->r3: untouched
+    # n sustained passes EVERYWHERE: the sandbox box is shared and ambient
+    # load causes 2x noise on identical code (measured r2->r3: untouched
     # pure-JVM queries regressed 30-130% between rounds on single-pass
-    # timing); the sustained pass is the engine property
-    ladder = min(
-        (run_ladder(spark, seq_path) for _ in range(2)), key=lambda r: r["sec"]
-    )
+    # timing). `queries` keeps the min (sustained wall, the engine
+    # property, same semantics as r3's best-of-2); `medians` carries the
+    # n>=3 per-query medians so cross-round comparisons never need the
+    # REGRESSION-md re-derivation again (r3 VERDICT item 6).
+    ladder_runs = [run_ladder(spark, seq_path) for _ in range(n_passes)]
+    ladder = min(ladder_runs, key=lambda r: r["sec"])
     queries["ladder_sequences"] = round(ladder["sec"], 3)
+    medians["ladder_sequences"] = round(
+        statistics.median(r["sec"] for r in ladder_runs), 3
+    )
 
     def timed(name, fn):
         walls = []
-        for _ in range(2):
+        for _ in range(n_passes):
             t = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
             walls.append(time.time() - t)
         queries[name] = round(min(walls), 3)
+        medians[name] = round(statistics.median(walls), 3)
         return n
 
     timed("rollup_events_1h", E.q_rollup_1h_basic)
@@ -155,10 +165,14 @@ def run_default() -> dict:
     return {
         "metric": "rolled-up points/sec (raw→1m→1h→1d tiers, Gorilla-compressed)",
         "value": round(total, 3),
-        "value_semantics": "sum of per-query best-of-2 walls (sustained; "
-        "r1/r2 value was a single-pass total)",
+        "value_semantics": "sum of per-query min-of-n sustained walls "
+        "(n=3 since r4, was best-of-2 in r3 — same min-of-sustained "
+        "semantics; r1/r2 value was a single-pass total). Compare "
+        "cross-round via `medians` and points_per_sec, never raw value.",
         "unit": "sec",
         "queries": queries,
+        "medians": medians,
+        "n_passes": n_passes,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "rolled_points": ladder["rolled_points"],
         "windows": ladder["windows"],
