@@ -29,7 +29,8 @@ def fmt(spark, df):
                 l
                 for l in block.split("\n")
                 if re.match(
-                    r"\(\d+\) Scan|ReadSchema|PushedFilters|DataFilters",
+                    r"\(\d+\) Scan|ReadSchema|PushedFilters|DataFilters"
+                    r"|PartitionFilters",
                     l.strip(),
                 )
             ]
@@ -69,6 +70,13 @@ def main() -> None:
         ("Broadcast join chain (`revenue_by_nation`)",
          "Dimension tables broadcast; no shuffle on the fact side before "
          "partial agg.", fmt(spark, E.q_revenue_by_nation(spark, SF))),
+        ("IVF top-k at rest (`ivf_topk_at_rest`)",
+         "The 100 TB ANN read path (r4): corpus laid out "
+         "`partitionBy(cell)`; the probed cells are a LITERAL "
+         "`cell IN (...)` resolved against the directory listing at "
+         "planning time — see PartitionFilters on the scan; unprobed "
+         "cells are never opened.",
+         fmt(spark, E.q_ivf_topk_at_rest(spark, SF))),
         ("Embedding near-duplicates (`embedding_near_dups`)",
          "Verify-once (r3): the candidate-pair aggregate "
          "(HashAggregate/dedup on id_a,id_b) sits BELOW the exact-cosine "

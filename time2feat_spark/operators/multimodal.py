@@ -12,9 +12,12 @@ feature-extract / resize / frame-sample run as Arrow-batched
   NO external codec, so it runs and is tested IN this sandbox
   (test_audio_frame_stats_real_wav_decode); compressed formats raise
   loudly toward the ffmpeg/soundfile plug point.
-- video: stubbed (keyframe extraction needs ffmpeg); the Spark-side
-  plumbing — schema, ragged frame expansion, batch shape — is real and
-  tested.
+- video: REAL branch for UNCOMPRESSED AVI via stdlib RIFF parsing
+  (r4 — '00db' DIB frames, every_k sampling, tested in-sandbox);
+  compressed video raises loudly toward the ffmpeg plug point. The stub
+  (pseudo-frame schedule from blob size) remains the default; its
+  Spark-side plumbing — schema, ragged frame expansion, batch shape —
+  is shared with the real path.
 `deterministic_fake=True` (default) produces a seeded, content-derived
 pseudo-decode so the full pipeline stays testable without codecs.
 
@@ -151,6 +154,95 @@ def _decode_bmp_gray(b: bytes) -> np.ndarray:
     return gray.astype(np.float64)
 
 
+def _bgr_rows_to_gray(
+    buf: bytes, width: int, height: int, bpp: int, flip: bool, offset: int = 0
+) -> np.ndarray:
+    """Shared DIB pixel-array decode (BMP bodies and uncompressed-AVI
+    '00db' frames use the same layout): 4-byte-aligned rows, BGR for
+    24-bpp, single channel for 8-bpp, bottom-up when flip."""
+    stride = ((bpp * width + 31) // 32) * 4
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)
+    if bpp == 24:
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        gray = (
+            px[:, :, 2].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 0].astype(np.int64) * 114
+        ) // 1000
+    else:
+        gray = rows[:, :width].astype(np.int64)
+    if flip:
+        gray = gray[::-1]
+    return gray.astype(np.float64)
+
+
+def _iter_riff_chunks(b: bytes, start: int, end: int):
+    """(tag, data_offset, size) over a RIFF chunk sequence; chunks are
+    word-aligned (odd sizes padded by one byte)."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        tag = b[off:off + 4]
+        (size,) = struct.unpack_from("<I", b, off + 4)
+        yield tag, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def _decode_avi_frames(b: bytes):
+    """Parse an UNCOMPRESSED AVI (RIFF 'AVI ', video stream with
+    BI_RGB 8/24-bpp DIB frames in '..db'/'..dc' chunks) using only
+    stdlib struct + numpy — the video analogue of the PCM-WAV and BMP
+    paths: real keyframe extraction with no codec. Returns (width,
+    height, [frame byte ranges]) lazily decoded via `frame(i)`.
+    Compressed streams raise toward the ffmpeg plug point."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    width = height = bpp = None
+    compression = None
+    frames: list[tuple[int, int]] = []
+    for tag, data, size in _iter_riff_chunks(b, 12, min(8 + riff_size, len(b))):
+        if tag != b"LIST":
+            continue
+        list_type = b[data:data + 4]
+        if list_type == b"hdrl":
+            for t2, d2, s2 in _iter_riff_chunks(b, data + 4, data + size):
+                if t2 == b"LIST" and b[d2:d2 + 4] == b"strl":
+                    for t3, d3, s3 in _iter_riff_chunks(b, d2 + 4, d2 + s2):
+                        if t3 == b"strf" and s3 >= 20:
+                            # BITMAPINFOHEADER of the video stream
+                            width, height = struct.unpack_from("<ii", b, d3 + 4)
+                            (bpp,) = struct.unpack_from("<H", b, d3 + 14)
+                            (compression,) = struct.unpack_from(
+                                "<I", b, d3 + 16
+                            )
+        elif list_type == b"movi":
+            for t2, d2, s2 in _iter_riff_chunks(b, data + 4, data + size):
+                if t2[2:4] in (b"db", b"dc"):
+                    frames.append((d2, s2))
+    if width is None:
+        raise ValueError("AVI has no video stream format (strf)")
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"AVI bpp={bpp} compression={compression} needs a real codec "
+            "(ffmpeg) — stdlib path covers uncompressed 8/24-bpp DIB only"
+        )
+
+    flip = height > 0
+    h = abs(height)
+
+    def frame(i: int) -> np.ndarray:
+        off, _size = frames[i]
+        return _bgr_rows_to_gray(b, width, h, bpp, flip, offset=off)
+
+    return len(frames), frame
+
+
 def _resize_area(gray: np.ndarray, thumb: int) -> np.ndarray:
     """Deterministic area-average resize to thumb x thumb (block means
     over integer bin edges)."""
@@ -276,14 +368,44 @@ def video_frame_sample(
     # pseudo frame count: one frame per 4KB of media, like a ~30fps clip
     bytes_per_frame = 4096
 
+    if not deterministic_fake:
+        # REAL decode path for UNCOMPRESSED AVI via stdlib RIFF parsing
+        # (no codec needed — runs and is tested in this sandbox, like the
+        # PCM-WAV and BMP paths). Compressed video raises loudly toward
+        # the ffmpeg plug point. Same sampling schedule as the stub:
+        # every_k-th frame, capped at max_frames.
+        def run_real(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, fidx, means, stds = [], [], [], []
+                for doc, blob in zip(pdf[id_col], pdf[blob_col]):
+                    n_total, frame = _decode_avi_frames(bytes(blob))
+                    if not n_total:
+                        continue
+                    n_sampled = min(-(-n_total // every_k), max_frames)
+                    for j in range(n_sampled):
+                        g = frame(j * every_k)
+                        ids.append(doc)
+                        fidx.append(j * every_k)
+                        means.append(g.mean())
+                        stds.append(g.std())
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "frame_idx": np.asarray(fidx, dtype=np.int32),
+                        "mean_px": np.asarray(means, dtype=np.float64),
+                        "std_px": np.asarray(stds, dtype=np.float64),
+                    }
+                )
+
+        blobs = df.where(F.col(blob_col).isNotNull()).select(id_col, blob_col)
+        return blobs.mapInPandas(run_real, schema)
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "video decode requires a codec (ffmpeg)"
-                )
             nb = pdf["_nb"].to_numpy()
             seeds = pdf["_seed"].to_numpy().astype(np.uint64)
             total_frames = np.maximum(nb // bytes_per_frame, 1)
