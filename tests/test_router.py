@@ -1,0 +1,103 @@
+"""Tier-aware query routing (plans/router.py): the read-side dispatch
+over the materialized ladder — coarsest sufficient tier for a
+resolution, day-pruned reads, and raw-fidelity point decode from the
+finest tier's Gorilla blocks (truth: independently decoded `raw`-tier
+whole-series blocks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from time2feat_spark.generator import gen_pandas
+from time2feat_spark.operators.rollup import RollupConfig, tier_points
+from time2feat_spark.plans.ladder_job import LadderJob
+from time2feat_spark.plans.router import choose_tier, route_points, route_range
+
+CFG = RollupConfig()  # raw + 1m/1h/1d, compressed
+
+
+def test_choose_tier_rule():
+    assert choose_tier(CFG, 86400) == "1d"
+    assert choose_tier(CFG, 7 * 86400) == "1d"
+    assert choose_tier(CFG, 7200) == "1h"
+    assert choose_tier(CFG, 3600) == "1h"
+    assert choose_tier(CFG, 90) == "1m"
+    assert choose_tier(CFG, 30) is None  # finer than every windowed tier
+
+
+def _ladder(spark, tmp_path, n=80):
+    inp = str(tmp_path / "seq")
+    spark.createDataFrame(gen_pandas(0, n)).write.mode("overwrite").parquet(inp)
+    job = LadderJob(spark, inp, str(tmp_path / "out"), CFG)
+    job.run()
+    return job
+
+
+def test_route_range_picks_tier_and_prunes(spark, tmp_path):
+    job = _ladder(spark, tmp_path)
+    full = job.read_output()
+    t_lo = full.where("tier = '1h'").agg(
+        F.min(F.unix_millis("window_start"))
+    ).first()[0]
+    start, end = t_lo, t_lo + 6 * 3600 * 1000
+
+    tier, df = route_range(job, start, end, resolution_sec=7200)
+    assert tier == "1h"
+    got = df.select("source", "doc_id", "window_start", "count").toPandas()
+    want = (
+        full.where(
+            (F.col("tier") == "1h")
+            & (F.unix_millis("window_start") >= start)
+            & (F.unix_millis("window_start") < end)
+        )
+        .select("source", "doc_id", "window_start", "count")
+        .toPandas()
+    )
+    key = ["source", "doc_id", "window_start"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # day-resolution request routes to 1d, week-long range
+    tier2, df2 = route_range(job, start, start + 7 * 86_400_000, 86_400)
+    assert tier2 == "1d" and df2.count() > 0
+    # pruning evidence on the routed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "window_day" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_route_points_matches_raw_tier_decode(spark, tmp_path):
+    """Points routed from 1m Gorilla windows == the same range decoded
+    from the INDEPENDENT raw-tier whole-series blocks."""
+    job = _ladder(spark, tmp_path)
+    full = job.read_output()
+    t_lo = full.where("tier = '1m'").agg(
+        F.min(F.unix_millis("window_start"))
+    ).first()[0]
+    # deliberately unaligned range (30 s into a minute, 150 s long)
+    start, end = t_lo + 30_000, t_lo + 180_000
+
+    tier, got_df = route_range(job, start, end, resolution_sec=1)
+    assert tier == "points"
+    got = got_df.toPandas()
+    raw = tier_points(
+        full.where("tier = 'raw'"), key_cols=["source", "doc_id"]
+    ).where(
+        (F.col("ts_ms") >= start) & (F.col("ts_ms") < end)
+    ).drop("tier").toPandas()
+    key = ["source", "doc_id", "ts_ms"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = raw.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    pd.testing.assert_frame_equal(g, w)
+    # exact range bounds honored
+    assert g.ts_ms.min() >= start and g.ts_ms.max() < end
+
+
+def test_route_points_empty_range(spark, tmp_path):
+    job = _ladder(spark, tmp_path, n=30)
+    assert route_points(job, 0, 1000).count() == 0
