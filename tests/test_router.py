@@ -101,3 +101,59 @@ def test_route_points_matches_raw_tier_decode(spark, tmp_path):
 def test_route_points_empty_range(spark, tmp_path):
     job = _ladder(spark, tmp_path, n=30)
     assert route_points(job, 0, 1000).count() == 0
+
+
+def test_aggregate_range_reagg_exact_vs_direct_rollup(spark, tmp_path):
+    """6h buckets answered from the 1h tier must equal a DIRECT rollup
+    of the same input at a 6h tier: count/sum/min/max exactly (token
+    values are small ints — double sums are exact), mean to 1 ulp."""
+    import pytest
+
+    from time2feat_spark.operators.rollup import assemble, rollup_sequences
+    from time2feat_spark.plans.router import aggregate_range
+
+    job = _ladder(spark, tmp_path, n=60)
+    full = job.read_output()
+    t_lo = full.where("tier = '1d'").agg(
+        F.min(F.unix_millis("window_start"))
+    ).first()[0]
+    res = 6 * 3600
+    start = (t_lo // (res * 1000)) * (res * 1000)
+    end = start + 2 * 86_400_000
+
+    tier, got_df = aggregate_range(job, start, end, res)
+    assert tier == "1h"  # coarsest divisor of 6h among 1m/1h/1d
+    got = got_df.toPandas()
+
+    seq = spark.read.parquet(str(tmp_path / "seq"))
+    direct_cfg = RollupConfig(
+        tiers=[("6h", res)], include_raw=False, compress=False, features=[]
+    )
+    want = (
+        assemble(rollup_sequences(seq, direct_cfg), direct_cfg)
+        .where(
+            (F.unix_millis("window_start") >= start)
+            & (F.unix_millis("window_start") < end)
+        )
+        .select(
+            "source", "doc_id",
+            F.unix_millis("window_start").alias("bucket_start_ms"),
+            "count", "sum", "min", "max", "mean",
+        )
+        .toPandas()
+    )
+    key = ["source", "doc_id", "bucket_start_ms"]
+    g = got[want.columns].sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in ("count", "sum", "min", "max"):
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+    assert np.allclose(g["mean"], w["mean"], rtol=1e-12, atol=0)
+
+    # misaligned bounds are loud
+    with pytest.raises(ValueError, match="multiples of resolution"):
+        aggregate_range(job, start + 1, end, res)
+
+    # a resolution no tier divides falls back to bucketed points
+    tier2, df2 = aggregate_range(job, start, start + 180_000, 90)
+    assert tier2 == "points" and df2.count() > 0

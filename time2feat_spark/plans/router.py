@@ -67,6 +67,74 @@ def route_range(
     return tier, job.read_tier_range(tier, start_ms, end_ms, sources)
 
 
+def choose_divisor_tier(cfg: RollupConfig, resolution_sec: int) -> str | None:
+    """Coarsest tier whose window width DIVIDES the requested resolution
+    — the re-aggregation candidate: window starts are multiples of the
+    tier width, so every tier window falls entirely inside one
+    resolution bucket and algebraic stats re-aggregate exactly."""
+    best = None
+    for name, sec in windowed_tiers(cfg):
+        if sec <= resolution_sec and resolution_sec % sec == 0:
+            best = name
+    return best
+
+
+def aggregate_range(
+    job,
+    start_ms: int,
+    end_ms: int,
+    resolution_sec: int,
+    sources: list[str] | None = None,
+    cfg: RollupConfig | None = None,
+):
+    """Algebraic rollup of [start_ms, end_ms) onto a `resolution_sec`
+    bucket grid, answered from the coarsest EVENLY-DIVIDING tier — the
+    continuous-aggregate query surface: count/sum/min/max re-aggregate
+    exactly from tier windows (mean = sum/count), so e.g. a 6h dashboard
+    panel reads the 1h tier (6 rows per bucket), never raw points.
+    Requests no tier divides fall back to bucketing decoded points (still
+    day-pruned). start/end must sit on the bucket grid. Returns
+    (source_tier_name, DataFrame) with one row per
+    (source, doc_id, bucket_start) carrying count/sum/min/max/mean."""
+    cfg = cfg or job.cfg
+    res_ms = resolution_sec * 1000
+    if start_ms % res_ms or end_ms % res_ms:
+        raise ValueError(
+            f"start/end must be multiples of resolution ({res_ms} ms) so "
+            f"buckets are whole; got start={start_ms}, end={end_ms}"
+        )
+    tier = choose_divisor_tier(cfg, resolution_sec)
+    if tier is None:
+        pts = route_points(job, start_ms, end_ms, sources, cfg)
+        bucket = (F.floor(F.col("ts_ms") / F.lit(res_ms)) * res_ms).cast(
+            "long"
+        )
+        grouped = pts.groupBy(
+            "source", "doc_id", bucket.alias("bucket_start_ms")
+        ).agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    else:
+        w = job.read_tier_range(tier, start_ms, end_ms, sources)
+        bucket = (
+            F.floor(F.unix_millis("window_start") / F.lit(res_ms)) * res_ms
+        ).cast("long")
+        grouped = w.groupBy(
+            "source", "doc_id", bucket.alias("bucket_start_ms")
+        ).agg(
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    return tier or "points", grouped.withColumn(
+        "mean", F.col("sum") / F.col("count")
+    )
+
+
 def route_points(
     job,
     start_ms: int,
