@@ -1,0 +1,95 @@
+"""Gopher-style repetition/structure quality signals
+(operators/text.py::repetition_features) against hand-computed truth —
+duplicate-line fractions, bullet/ellipsis line structure, and top word
+n-gram character coverage (overlapping occurrences deliberately count
+like the published implementations, so the fraction can exceed 1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from time2feat_spark.operators.text import (
+    GOPHER_REPETITION_RULES,
+    repetition_features,
+)
+
+DOCS = [
+    # A: one repeated line out of three; "aaa bbb" is the top 2-gram
+    ("A", "aaa bbb\naaa bbb\nccc ddd\n"),
+    # B: bullet lines + an ellipsis line, no duplicate lines
+    ("B", "- item one\n- item two\nmore text...\n"),
+    # C: single line, heavy overlapping repetition
+    ("C", "hello world hello world hello"),
+    # D: whitespace only -> every fraction NULL
+    ("D", "   "),
+]
+
+
+@pytest.fixture(scope="module")
+def rep(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    out = repetition_features(df).toPandas().set_index("doc_id")
+    return out
+
+
+def test_duplicate_line_fractions(rep):
+    # A: lines [aaa bbb, aaa bbb, ccc ddd] -> 1 repeat of 3; 7 of 21 chars
+    assert rep.loc["A", "rep_dup_line_frac"] == 0.3333
+    assert rep.loc["A", "rep_dup_line_char_frac"] == 0.3333
+    assert rep.loc["B", "rep_dup_line_frac"] == 0.0
+    assert rep.loc["C", "rep_dup_line_frac"] == 0.0
+
+
+def test_structure_fractions(rep):
+    assert rep.loc["B", "rep_bullet_line_frac"] == 0.6667  # 2 of 3
+    assert rep.loc["B", "rep_ellipsis_line_frac"] == 0.3333  # 1 of 3
+    assert rep.loc["A", "rep_bullet_line_frac"] == 0.0
+    assert rep.loc["A", "rep_ellipsis_line_frac"] == 0.0
+
+
+def test_top_ngram_char_fractions(rep):
+    # A: text len 24; "aaa bbb" twice -> 2*7/24; all 3-grams unique,
+    # longest 11 chars; 4-grams unique, longest 15
+    assert rep.loc["A", "rep_top2gram_char_frac"] == 0.5833
+    assert rep.loc["A", "rep_top3gram_char_frac"] == 0.4583
+    assert rep.loc["A", "rep_top4gram_char_frac"] == 0.625
+    # B: len 35; "- item" twice (12); unique 3/4-grams, longest 16 / 21
+    assert rep.loc["B", "rep_top2gram_char_frac"] == 0.3429
+    assert rep.loc["B", "rep_top3gram_char_frac"] == 0.4571
+    assert rep.loc["B", "rep_top4gram_char_frac"] == 0.6
+    # C: len 29; "hello world" x2 (22/29); overlapping
+    # "hello world hello" x2 -> 34/29 > 1 (published-impl semantics)
+    assert rep.loc["C", "rep_top2gram_char_frac"] == 0.7586
+    assert rep.loc["C", "rep_top3gram_char_frac"] == 1.1724
+    assert rep.loc["C", "rep_top4gram_char_frac"] == 0.7931
+
+
+def test_empty_doc_is_all_null(rep):
+    row = rep.loc["D"]
+    for c in rep.columns:
+        if c.startswith("rep_"):
+            assert row[c] is None or row[c] != row[c], c  # NULL/NaN
+
+
+def test_gopher_rules_chain(spark):
+    """The rule set plugs into quality_filter as a keep-chain with
+    first-failing-rule attribution: A trips dup_line_frac (0.3333 >
+    0.3), B trips ellipsis_lines (1 of 3 lines), C trips top2gram
+    (0.7586 > 0.2), and the all-NULL doc passes (nothing to judge —
+    length rules handle empties upstream)."""
+    from time2feat_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    out = (
+        quality_filter(repetition_features(df), rules=GOPHER_REPETITION_RULES)
+        .select("doc_id", "keep", "drop_reason")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    names = {n for n, _ in GOPHER_REPETITION_RULES}
+    assert set(out.drop_reason.dropna()) <= names
+    assert (out.keep == out.drop_reason.isna()).all()
+    assert not out.loc["A", "keep"] and out.loc["A", "drop_reason"] == "dup_line_frac"
+    assert not out.loc["B", "keep"] and out.loc["B", "drop_reason"] == "ellipsis_lines"
+    assert not out.loc["C", "keep"] and out.loc["C", "drop_reason"] == "top2gram"
+    assert out.loc["D", "keep"]  # all-NULL fractions pass (nothing to judge)

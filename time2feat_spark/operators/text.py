@@ -101,6 +101,158 @@ def quality_filter(
     return q.withColumn("keep", keep).withColumn("drop_reason", reason)
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style repetition/structure signals (Rae et al. 2021,
+    "Scaling Language Models", App. A quality heuristics; same family as
+    C4's rules) for training-data curation:
+
+    - ``rep_dup_line_frac``: fraction of non-empty lines that are
+      repeats of an earlier line.
+    - ``rep_dup_line_char_frac``: fraction of line characters sitting in
+      those repeated occurrences.
+    - ``rep_bullet_line_frac`` / ``rep_ellipsis_line_frac``: fraction of
+      lines starting with a bullet / ending with an ellipsis.
+    - ``rep_top{n}gram_char_frac``: chars covered by the single most
+      frequent word n-gram / total chars, for each n in ``ngram_ns``.
+
+    Scale posture: the line rules are pure array expressions (one scan,
+    no shuffle; the duplicate scan is O(lines^2) per doc in codegen —
+    lines per doc is small and bounded by the min-chars rules upstream).
+    The n-gram mode is NOT expressible without a per-doc quadratic blow-
+    up on long docs, so it uses the standard scalable shape: explode ->
+    two-level aggregate keyed on (doc, n, gram) -> max-struct per doc —
+    shuffles are partitioned by doc and combine map-side.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    # occurrence i is a REPEAT if an earlier index holds the same line
+    idx = F.when(
+        n_lines >= 1, F.sequence(F.lit(1), n_lines)
+    ).otherwise(F.array().cast("array<int>"))
+    rep_mask = F.transform(
+        idx,
+        lambda i: F.size(
+            F.filter(
+                F.slice(lines, 1, i.cast("int") - 1),
+                lambda x: x == F.element_at(lines, i.cast("int")),
+            )
+        )
+        > 0,
+    )
+    rep_lines = F.size(F.filter(rep_mask, lambda m: m))
+    rep_chars = F.aggregate(
+        F.zip_with(
+            lines, rep_mask, lambda l, m: F.when(m, F.length(l)).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+
+    def frac(num, den):
+        # try_divide: zero lines/chars => NULL (ANSI mode raises on /0)
+        r = round2(F.try_divide(num, den), 7, 4)
+        return F.when(F.isnan(r), F.lit(None)).otherwise(r)
+
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    with_lines = df.withColumns(
+        {
+            "rep_dup_line_frac": frac(rep_lines, n_lines),
+            "rep_dup_line_char_frac": frac(rep_chars, line_chars),
+            "rep_bullet_line_frac": frac(bullets, n_lines),
+            "rep_ellipsis_line_frac": frac(ellipsis, n_lines),
+        }
+    )
+
+    # --- top n-gram coverage: explode -> count -> max-struct per doc ---
+    words = F.filter(
+        F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0
+    )
+    # closure factories, NOT default-arg lambdas: a two-parameter lambda
+    # in F.transform is the (element, index) form, so `lambda g, n=n`
+    # would silently bind n to the ELEMENT INDEX
+    def _gram_of(nv):
+        return lambda i: F.concat_ws(" ", F.slice(words, i.cast("int"), nv))
+
+    def _tag_of(nv):
+        return lambda g: F.struct(F.lit(nv).alias("n"), g.alias("gram"))
+
+    gram_structs = []
+    for n in ngram_ns:
+        gi = F.when(
+            F.size(words) - (n - 1) >= 1,
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(gi, _gram_of(n))
+        gram_structs.append(F.transform(grams, _tag_of(n)))
+    exploded = df.select(
+        F.col(id_col),
+        F.length(t).alias("_nc"),
+        F.explode(F.flatten(F.array(*gram_structs))).alias("g"),
+    )
+    top = (
+        exploded.groupBy(id_col, "_nc", F.col("g.n").alias("_n"),
+                         F.col("g.gram").alias("_gram"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col, "_nc", "_n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cnt"),
+                    (F.col("_cnt") * F.length("_gram")).alias("_chars"),
+                )
+            )["_chars"].alias("_top_chars")
+        )
+        .groupBy(id_col)
+        .pivot("_n", list(ngram_ns))
+        .agg(
+            F.first(
+                round2(F.try_divide(F.col("_top_chars"), F.col("_nc")), 7, 4)
+            )
+        )
+    )
+    renamed = top.select(
+        F.col(id_col),
+        *[
+            F.col(str(n)).alias(f"rep_top{n}gram_char_frac")
+            for n in ngram_ns
+        ],
+    )
+    return with_lines.join(renamed, id_col, "left")
+
+
+#: Gopher-flavored keep-rules over repetition_features columns, usable
+#: with quality_filter(rules=...) after joining the features (thresholds
+#: from the published Gopher table, rounded).
+GOPHER_REPETITION_RULES: list[tuple[str, str]] = [
+    ("dup_line_frac", "rep_dup_line_frac IS NULL OR rep_dup_line_frac <= 0.3"),
+    ("dup_line_char_frac",
+     "rep_dup_line_char_frac IS NULL OR rep_dup_line_char_frac <= 0.2"),
+    ("bullet_lines",
+     "rep_bullet_line_frac IS NULL OR rep_bullet_line_frac <= 0.9"),
+    ("ellipsis_lines",
+     "rep_ellipsis_line_frac IS NULL OR rep_ellipsis_line_frac <= 0.3"),
+    ("top2gram", "rep_top2gram_char_frac IS NULL OR rep_top2gram_char_frac <= 0.2"),
+    ("top3gram", "rep_top3gram_char_frac IS NULL OR rep_top3gram_char_frac <= 0.18"),
+    ("top4gram", "rep_top4gram_char_frac IS NULL OR rep_top4gram_char_frac <= 0.16"),
+]
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker counts,
     'und' when no marker matches. Deterministic tie-break by language code
