@@ -157,3 +157,52 @@ def test_aggregate_range_reagg_exact_vs_direct_rollup(spark, tmp_path):
     # a resolution no tier divides falls back to bucketed points
     tier2, df2 = aggregate_range(job, start, start + 180_000, 90)
     assert tier2 == "points" and df2.count() > 0
+
+
+def test_quantile_range_exact_vs_numpy(spark, tmp_path):
+    """quantile_range decodes the 1h tier's Gorilla blocks and must
+    reproduce numpy's linear-interpolation percentiles of the raw input
+    samples per 6h bucket, exactly."""
+    import numpy as np
+
+    from time2feat_spark.operators.rollup import tier_points
+    from time2feat_spark.plans.router import quantile_range
+
+    job = _ladder(spark, tmp_path, n=40)
+    full = job.read_output()
+    t_lo = full.where("tier = '1d'").agg(
+        F.min(F.unix_millis("window_start"))
+    ).first()[0]
+    res = 6 * 3600
+    start = (t_lo // (res * 1000)) * (res * 1000)
+    end = start + 86_400_000
+
+    got = quantile_range(job, start, end, res, qs=(0.5, 0.9)).toPandas()
+    assert len(got) > 0
+
+    # independent truth: decode the RAW whole-series tier, bucket with
+    # pandas, numpy percentiles
+    raw = tier_points(
+        full.where("tier = 'raw'"), key_cols=["source", "doc_id"]
+    ).where(
+        (F.col("ts_ms") >= start) & (F.col("ts_ms") < end)
+    ).toPandas()
+    raw["bucket_start_ms"] = (raw.ts_ms // (res * 1000)) * (res * 1000)
+    want = (
+        raw.groupby(["source", "doc_id", "bucket_start_ms"])["value"]
+        .agg(
+            count="count",
+            q_0_5=lambda v: np.percentile(v, 50),
+            q_0_9=lambda v: np.percentile(v, 90),
+        )
+        .reset_index()
+    )
+    key = ["source", "doc_id", "bucket_start_ms"]
+    g = got.sort_values(key).reset_index(drop=True)[want.columns]
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["count"].to_numpy() == w["count"].to_numpy()).all()
+    # Spark computes (1-f)*lo + f*hi, numpy lo + f*(hi-lo): same linear
+    # interpolation, last-ulp float difference
+    for c in ("q_0_5", "q_0_9"):
+        assert np.allclose(g[c], w[c], rtol=1e-12, atol=1e-12), c

@@ -135,6 +135,52 @@ def aggregate_range(
     )
 
 
+def quantile_range(
+    job,
+    start_ms: int,
+    end_ms: int,
+    resolution_sec: int,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    sources: list[str] | None = None,
+    cfg: RollupConfig | None = None,
+) -> DataFrame:
+    """EXACT quantiles of [start_ms, end_ms) on a `resolution_sec`
+    bucket grid. Quantiles are holistic — they cannot be re-aggregated
+    from tier statistics — so this decodes the raw samples back out of
+    the COARSEST evenly-dividing tier's Gorilla blocks (every tier
+    stores its windows' own points; the coarsest divisor minimizes block
+    count per bucket) and runs Spark's exact percentile per bucket. The
+    read is still window_day partition-pruned and touches only the
+    compressed tier table, never a raw-table scan; decode cost is
+    O(points in range), the floor for any exact holistic answer. (The
+    approximate O(1)-per-window alternative is the sketch cascade,
+    operators/sketch_rollup.py.) Output: one row per
+    (source, doc_id, bucket_start_ms) with q_<pct> columns."""
+    cfg = cfg or job.cfg
+    res_ms = resolution_sec * 1000
+    if start_ms % res_ms or end_ms % res_ms:
+        raise ValueError(
+            f"start/end must be multiples of resolution ({res_ms} ms); "
+            f"got start={start_ms}, end={end_ms}"
+        )
+    tier = choose_divisor_tier(cfg, resolution_sec)
+    if tier is None:
+        pts = route_points(job, start_ms, end_ms, sources, cfg)
+    else:
+        w = job.read_tier_range(tier, start_ms, end_ms, sources)
+        pts = tier_points(w, key_cols=["source", "doc_id"])
+    bucket = (F.floor(F.col("ts_ms") / F.lit(res_ms)) * res_ms).cast("long")
+    aggs = [
+        F.percentile("value", F.lit(q)).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in qs
+    ]
+    return pts.groupBy(
+        "source", "doc_id", bucket.alias("bucket_start_ms")
+    ).agg(F.count(F.lit(1)).alias("count"), *aggs)
+
+
 def route_points(
     job,
     start_ms: int,
