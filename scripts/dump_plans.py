@@ -51,6 +51,19 @@ def main() -> None:
     if not os.path.exists(seq_path):
         write_sequences(spark, seq_path, 500)
     lad = rollup_sequences(spark.read.parquet(seq_path))
+
+    from time2feat_spark.plans.ladder_job import LadderJob
+    from time2feat_spark.plans.router import aggregate_range
+
+    ladder_out = "/tmp/t2f_plans/ladder_out"
+    job = LadderJob(spark, seq_path, ladder_out)
+    job.run()  # resumable: done units are skipped on re-invocation
+    t_lo = job.read_output().where("tier = '1d'").agg(
+        {"window_start": "min"}
+    ).first()[0]
+    start = (int(t_lo.timestamp() * 1000) // 21_600_000) * 21_600_000
+    _, routed = aggregate_range(job, start, start + 86_400_000, 21_600)
+
     sections = [
         ("Sequences tier ladder (`rollup_sequences`) — the flagship",
          "Zero exchanges: every tier is emitted from one pass over the "
@@ -70,6 +83,13 @@ def main() -> None:
         ("Broadcast join chain (`revenue_by_nation`)",
          "Dimension tables broadcast; no shuffle on the fact side before "
          "partial agg.", fmt(spark, E.q_revenue_by_nation(spark, SF))),
+        ("Routed 6h aggregate (`plans/router.aggregate_range`)",
+         "Continuous-aggregate dispatch (r4): a 6h-resolution range is "
+         "answered from the 1h tier — the scan carries BOTH the tier and "
+         "the window_day bounds as PartitionFilters (planning-time "
+         "directory pruning), re-aggregation is one partial+final "
+         "HashAggregate over 6 windows per bucket; raw points are never "
+         "read.", fmt(spark, routed)),
         ("IVF top-k at rest (`ivf_topk_at_rest`)",
          "The 100 TB ANN read path (r4): corpus laid out "
          "`partitionBy(cell)`; the probed cells are a LITERAL "
