@@ -84,3 +84,45 @@ def test_cascade_spark_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan
     rows = out.where("tier = '1d'").count()
     assert rows == 30  # one 1d window per ~1056-tick doc
+
+
+def test_quantile_buckets_approx_from_materialized_sketches(spark):
+    """quantile_buckets_approx answers a (range, resolution) quantile by
+    MERGING materialized 1m sketches into 5m buckets (O(windows), raw
+    never read). Truth: numpy quantiles of the raw token slice per
+    bucket; value bound = 2.5 * bucket range / nbins (build + one merge
+    level, same factor test_merge_error_one_extra_bin_per_level pins)."""
+    from time2feat_spark.operators.sketch_rollup import (
+        T0_MS,
+        quantile_buckets_approx,
+    )
+
+    pdf = gen_pandas(0, 20)
+    sk = sketch_cascade(spark.createDataFrame(pdf))
+    res = 300  # 5 minutes: only the 1m tier divides it -> real merging
+    out = quantile_buckets_approx(
+        sk, T0_MS, T0_MS + 86_400_000, res, qs=(0.1, 0.5, 0.9)
+    ).toPandas()
+    toks = {
+        r.doc_id: np.asarray(r.tokens, dtype=np.float64)
+        for r in pdf.itertuples(index=False)
+    }
+    assert len(out) > 20
+    checked = 0
+    for r in out.itertuples(index=False):
+        x = toks[r.doc_id]
+        b = (r.bucket_start_ms - T0_MS) // (res * 1000)
+        win = x[b * res : (b + 1) * res]
+        assert len(win) == r.count
+        if len(win) < 8:
+            continue
+        bound = 2.5 * (win.max() - win.min()) / NBINS
+        for q, est in ((0.1, r.q_0_1), (0.5, r.q_0_5), (0.9, r.q_0_9)):
+            assert abs(est - np.quantile(win, q)) <= bound, (q, b)
+        checked += 1
+    assert checked > 20
+    # misuse is loud: no tier divides 90s; misaligned bounds raise
+    with pytest.raises(ValueError, match="evenly divides"):
+        quantile_buckets_approx(sk, T0_MS, T0_MS + 86_400_000, 90)
+    with pytest.raises(ValueError, match="multiples of resolution"):
+        quantile_buckets_approx(sk, T0_MS + 1, T0_MS + 86_400_000, res)

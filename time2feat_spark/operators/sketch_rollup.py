@@ -136,3 +136,95 @@ def sketch_cascade(
                 yield sketch_cascade_pdf(pdf, tiers, nbins)
 
     return df.mapInPandas(run, schema)
+
+
+def quantile_buckets_approx(
+    sketch_df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    resolution_sec: int,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    tiers: list[tuple[str, int]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate quantiles of [start_ms, end_ms) on a resolution
+    bucket grid, answered by MERGING materialized window sketches —
+    O(windows in range) work, independent of raw point count: the
+    100 TB quantile fast path next to the exact-but-O(points)
+    `plans/router.quantile_range`. Uses the coarsest tier whose width
+    evenly divides the resolution (windows nest in buckets). Error
+    bound: one extra fold on top of the cascade's —
+    |est - exact| <= (levels + 1) * bucket_range / nbins.
+
+    Shape: one shuffle on (id, bucket), then whole-batch numpy merges
+    (merge_sketches handles every group in a batch at once; groups are
+    partition-local by the repartition and each holds
+    resolution/tier_width sketches, so a mapInPandas call buffers at
+    most its partition's window rows, never raw points)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    tiers_sorted = sorted(tiers or DEFAULT_TIERS, key=lambda t: t[1])
+    tier = None
+    for name, sec in tiers_sorted:
+        if sec <= resolution_sec and resolution_sec % sec == 0:
+            tier = name
+    if tier is None:
+        raise ValueError(
+            f"no sketch tier evenly divides resolution={resolution_sec}s "
+            f"(tiers: {tiers_sorted})"
+        )
+    res_ms = resolution_sec * 1000
+    if start_ms % res_ms or end_ms % res_ms:
+        raise ValueError("start/end must be multiples of resolution")
+    sel = (
+        sketch_df.where(
+            (F.col("tier") == tier)
+            & (F.col("window_start_ms") >= start_ms)
+            & (F.col("window_start_ms") < end_ms)
+        )
+        .select(
+            id_col,
+            (F.floor(F.col("window_start_ms") / F.lit(res_ms)) * res_ms)
+            .cast("long")
+            .alias("bucket_start_ms"),
+            "sketch",
+        )
+    )
+    group_cols = [id_col, "bucket_start_ms"]
+    parted = sel.repartition(*group_cols).sortWithinPartitions(*group_cols)
+    q_names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    out_schema = StructType(
+        [
+            StructField(id_col, sketch_df.schema[id_col].dataType),
+            StructField("bucket_start_ms", LongType()),
+            StructField("count", LongType()),
+        ]
+        + [StructField(n, DoubleType()) for n in q_names]
+    )
+
+    def run(batches):
+        # groups are partition-local (repartition on the group key), so
+        # buffering the partition's WINDOW rows (not raw points) bounds
+        # memory at O(windows per partition)
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        keys = pdf[group_cols].apply(tuple, axis=1)
+        codes, uniq = pd.factorize(keys)
+        sk = np.vstack([np.asarray(s, dtype=np.float64) for s in pdf["sketch"]])
+        merged = merge_sketches(sk, codes, len(uniq))
+        res = {
+            id_col: [u[0] for u in uniq],
+            "bucket_start_ms": np.asarray(
+                [u[1] for u in uniq], dtype=np.int64
+            ),
+            "count": merged[:, 0].astype(np.int64),
+        }
+        for q, n in zip(qs, q_names):
+            res[n] = sketch_quantile(merged, q)
+        yield pd.DataFrame(res)
+
+    return parted.mapInPandas(run, out_schema)
