@@ -95,3 +95,35 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ) - 1,
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    threshold_sec: int,
+) -> DataFrame:
+    """Heartbeat/gap monitoring: one row per interval where a series was
+    silent for more than `threshold_sec` — the dual of sessionize (the
+    session BOUNDARIES instead of the sessions). Output: key cols +
+    gap_start_ms (last point before the silence), gap_end_ms (first
+    point after), gap_ms. One window function over the (key, ts) sort —
+    a single shuffle on the series key, whole-stage codegen after it."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    t_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    prev_ms = F.lag(t_ms).over(w)
+    return (
+        df.select(*key_cols, ts_col)
+        .withColumn("_prev_ms", prev_ms)
+        .withColumn("_t_ms", t_ms)
+        .where(
+            F.col("_prev_ms").isNotNull()
+            & (F.col("_t_ms") - F.col("_prev_ms") > threshold_sec * 1000)
+        )
+        .select(
+            *key_cols,
+            F.col("_prev_ms").alias("gap_start_ms"),
+            F.col("_t_ms").alias("gap_end_ms"),
+            (F.col("_t_ms") - F.col("_prev_ms")).alias("gap_ms"),
+        )
+    )
