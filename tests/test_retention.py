@@ -84,3 +84,39 @@ def test_default_policy_tiers():
     assert p.cutoff_day("1m", now) == 910
     assert p.cutoff_day("1d", now) is None
     assert p.cutoff_day("unknown_tier", now) is None  # default: keep
+
+
+def test_maintain_orchestrates_retention_and_compaction(spark, tmp_path):
+    """LadderJob.maintain = retention drops then compaction, idempotent,
+    both recorded in the manifest — the cron-able maintenance entry."""
+    inp = str(tmp_path / "seq")
+    spark.createDataFrame(gen_pandas(0, 40)).write.parquet(inp)
+    out = str(tmp_path / "out")
+    job = LadderJob(spark, inp, out, CFG, rows_per_task=30)  # salted files
+    job.run()
+
+    days = sorted(
+        int(p.rsplit("window_day=", 1)[1])
+        for p in glob.glob(f"{out}/source=*/tier=1h/window_day=*")
+    )
+    # age the clock so the oldest 1h day is past a 1-day 1h retention
+    now_ms = (days[0] + 2) * MS_PER_DAY
+    policy = RetentionPolicy(max_age_days={"1h": 1, "1d": None})
+    res = job.maintain(
+        policy=policy, files_per_partition=1, now_ms=now_ms
+    )
+    assert res["retention"]["dropped"], res["retention"]
+    assert not glob.glob(f"{out}/source=*/tier=1h/window_day={days[0]}")
+    # every surviving leaf compacted to one file
+    for leaf in glob.glob(f"{out}/source=*/tier=*/window_day=*"):
+        files = [f for f in glob.glob(f"{leaf}/*.parquet")]
+        assert len(files) <= 1, leaf
+    # manifest carries both actions
+    statuses = {r.status for r in Manifest(out).records()}
+    assert "retention" in statuses or any(
+        r.unit.startswith("retention") for r in Manifest(out).records()
+    )
+    # idempotent second pass: nothing else dropped, no rewrites
+    res2 = job.maintain(policy=policy, files_per_partition=1, now_ms=now_ms)
+    assert not res2["retention"]["dropped"]
+    assert all(v["rows"] is None for v in res2["compaction"].values())

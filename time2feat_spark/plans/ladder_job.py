@@ -201,6 +201,28 @@ class LadderJob:
             result["compaction"] = compacted
         return result
 
+    def maintain(
+        self,
+        policy=None,
+        files_per_partition: int = 1,
+        now_ms: int | None = None,
+    ) -> dict:
+        """One maintenance pass over the output table: retention first
+        (pure window_day partition drops — cheaper to delete before
+        rewriting), then small-file compaction of every source tree.
+        Both steps are idempotent and manifest-logged; this is the
+        cron-able entry point a deployment schedules between runs."""
+        from .compaction import compact_all
+        from .retention import RetentionPolicy, enforce_retention
+
+        policy = policy or RetentionPolicy()
+        now = int(time.time() * 1000) if now_ms is None else now_ms
+        ret = enforce_retention(self.out_root, policy, now)
+        comp = compact_all(
+            self.spark, self.out_root, files_per_partition
+        )
+        return {"retention": ret, "compaction": comp}
+
     def read_output(self) -> DataFrame:
         return self.spark.read.option("basePath", self.out_root).parquet(
             self.out_root
