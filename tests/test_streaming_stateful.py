@@ -158,3 +158,54 @@ def test_streaming_sessionize_lowers_start_on_out_of_order_merge(
     )
     assert first.session_end_ms == base + 20_000
     assert first.n_events == 3 and first.sum_v == 7.0
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """Cross-micro-batch exact dedup: batch 1 has internal dups, batch 2
+    repeats batch-1 content and adds new docs — only first occurrences
+    are ever emitted, and same-batch copies are counted."""
+    from time2feat_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "src")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": ["a1", "a2", "a3", "a4"],
+            "text": ["alpha", "beta", "alpha", "gamma"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": ["b1", "b2", "b3"],
+            "text": ["alpha", "delta", "beta"],  # alpha/beta are repeats
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/p1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/p2")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/p1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    # 4 distinct contents overall -> 4 emissions, each the FIRST doc_id
+    by_id = got.set_index("doc_id")
+    assert len(got) == 4
+    kept = set(got.doc_id)
+    # alpha first seen as a1 (or a3 — file row order is deterministic:
+    # a1 precedes a3), beta as a2, gamma as a4, delta as b2
+    assert "b1" not in kept and "b3" not in kept
+    assert {"a2", "a4", "b2"} <= kept
+    assert "a1" in kept or "a3" in kept
+    alpha_first = "a1" if "a1" in kept else "a3"
+    assert by_id.loc[alpha_first, "n_dups_in_batch"] == 1  # a1+a3 same batch
+    assert by_id.loc["b2", "n_dups_in_batch"] == 0

@@ -93,3 +93,40 @@ def test_gopher_rules_chain(spark):
     assert not out.loc["B", "keep"] and out.loc["B", "drop_reason"] == "ellipsis_lines"
     assert not out.loc["C", "keep"] and out.loc["C", "drop_reason"] == "top2gram"
     assert out.loc["D", "keep"]  # all-NULL fractions pass (nothing to judge)
+
+
+def test_redact_pii(spark):
+    """URL/email/IP/phone scrub with per-category counts; JVM-only."""
+    import pandas as pd
+
+    from time2feat_spark.operators.text import redact_pii
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "see https://example.com/a?b=1 or www.test.org now",
+                "mail bob.smith+x@corp.io from 192.168.0.1 or call "
+                "+1 (555) 123-4567",
+                "clean text with no identifiers at all",
+            ],
+        }
+    )
+    out = (
+        redact_pii(spark.createDataFrame(docs))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (
+        out.loc[1, "text_redacted"] == "see <URL> or <URL> now"
+    )
+    assert out.loc[1, "redact_url"] == 2
+    assert out.loc[2, "text_redacted"] == "mail <EMAIL> from <IP> or call <PHONE>"
+    assert (
+        out.loc[2, ["redact_email", "redact_ip", "redact_phone"]] == 1
+    ).all()
+    assert out.loc[3, "text_redacted"] == out.loc[3, "text"]
+    assert (
+        out.loc[3, ["redact_url", "redact_email", "redact_ip", "redact_phone"]]
+        == 0
+    ).all()

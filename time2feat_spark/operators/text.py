@@ -315,3 +315,44 @@ def winnowing_fingerprints(
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / boilerplate redaction (C4-style cleanup)
+# ---------------------------------------------------------------------------
+
+#: (placeholder, java regex) applied in order — order matters: URLs are
+#: matched before emails so "user@host" inside a URL is not re-redacted,
+#: and emails before bare domains would be if a domain rule is added.
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    ("<URL>", r"(?i)\bhttps?://[^\s<>\"]+|\bwww\.[^\s<>\"]+"),
+    ("<EMAIL>", r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"),
+    ("<IP>", r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+             r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"),
+    ("<PHONE>", r"(?<![\d.])\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]?"
+                r"\d{3}[\s.-]?\d{4}(?![\d.])"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Replace URLs / emails / IPs / phone numbers with typed
+    placeholders and count the replacements per category — the standard
+    pre-training scrub. One chained `regexp_replace` expression per
+    pattern, whole-stage codegen, no Python; counts come from
+    `regexp_count` on the ORIGINAL text so later rules don't hide
+    earlier matches. Adds `{out_col}` plus `redact_<name>` count
+    columns (name = placeholder without brackets, lowercased)."""
+    patterns = patterns if patterns is not None else REDACTION_PATTERNS
+    t = F.col(text_col)
+    red = t
+    counts = {}
+    for placeholder, pat in patterns:
+        name = placeholder.strip("<>").lower()
+        counts[f"redact_{name}"] = F.regexp_count(t, F.lit(pat))
+        red = F.regexp_replace(red, pat, placeholder)
+    return df.withColumns({out_col: red, **counts})

@@ -170,3 +170,81 @@ def streaming_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("n_dups_in_batch", LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def streaming_dedup(
+    stream,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST document ever
+    seen for each content hash, across micro-batches and restarts (the
+    state store persists seen-hashes in the checkpoint). The streaming
+    face of `operators/dedup.dedup_resolve` — an ingestion pipeline
+    drops repeats at arrival time instead of re-scanning the corpus.
+
+    State is one long per DISTINCT content hash. Unbounded corpora need
+    a bound: pass `ttl_minutes` to expire idle hashes via processing-
+    time timeout (late repeats past the TTL are then re-admitted — the
+    standard at-least-once dedup window trade-off); None keeps state
+    forever (exact, state grows with distinct content).
+
+    Emits (content_hash, doc_id of first occurrence, n_dups_in_batch =
+    additional copies collapsed from the same micro-batch)."""
+    from pyspark.sql import functions as F
+
+    hashed = stream.select(
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.col(id_col).cast("string").alias("doc_id"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        first_id = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                if first_id is None:
+                    first_id = pdf["doc_id"].iloc[0]
+                n += len(pdf)
+        already = state.exists
+        if not already:
+            state.update((1,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60_000)
+        if already or first_id is None:
+            return
+        yield pd.DataFrame(
+            {
+                "content_hash": [key[0]],
+                "doc_id": [first_id],
+                "n_dups_in_batch": [n - 1],
+            }
+        )
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        timeout,
+    )
