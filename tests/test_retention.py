@@ -120,3 +120,50 @@ def test_maintain_orchestrates_retention_and_compaction(spark, tmp_path):
     res2 = job.maintain(policy=policy, files_per_partition=1, now_ms=now_ms)
     assert not res2["retention"]["dropped"]
     assert all(v["rows"] is None for v in res2["compaction"].values())
+
+
+def test_route_range_tiered_falls_back_after_retention(spark, tmp_path):
+    """Data tiering: after retention drops old 1h days (1d survives), a
+    1h-resolution range read stitches 1h windows for recent days and 1d
+    windows for the expired days — old data degrades, never disappears."""
+    from time2feat_spark.plans.router import route_range_tiered
+
+    inp = str(tmp_path / "seq")
+    spark.createDataFrame(gen_pandas(0, 50)).write.parquet(inp)
+    out = str(tmp_path / "out")
+    job = LadderJob(spark, inp, out, CFG)
+    job.run()
+
+    days = sorted(
+        {
+            int(p.rsplit("window_day=", 1)[1])
+            for p in glob.glob(f"{out}/source=*/tier=1h/window_day=*")
+        }
+    )
+    assert len(days) >= 4
+    cut = days[1]  # expire 1h for the two oldest days
+    now_ms = (cut + 2) * MS_PER_DAY
+    enforce_retention(
+        out, RetentionPolicy(max_age_days={"1h": 1, "1d": None}), now_ms
+    )
+
+    start = days[0] * MS_PER_DAY
+    end = (days[-1] + 1) * MS_PER_DAY
+    plan, df = route_range_tiered(job, start, end, resolution_sec=3600)
+    got = df.toPandas()
+    # expired days served from 1d, surviving days from 1h
+    for d in days:
+        want_tier = "1d" if d <= cut else "1h"
+        assert plan[d] == want_tier, (d, plan)
+        rows = got[got.window_day == d]
+        assert len(rows) > 0 and (rows.tier == want_tier).all(), d
+    # per-day rows equal a direct filtered read of the same tier
+    full = job.read_output().toPandas()
+    for d, t in plan.items():
+        want = full[
+            (full.tier == t)
+            & (full.window_day == d)
+            & (full.window_start.astype("int64") // 10**6 >= start)
+            & (full.window_start.astype("int64") // 10**6 < end)
+        ]
+        assert len(got[got.window_day == d]) == len(want), (d, t)

@@ -67,6 +67,72 @@ def route_range(
     return tier, job.read_tier_range(tier, start_ms, end_ms, sources)
 
 
+def available_days(job, tier: str, sources: list[str] | None = None) -> set:
+    """window_day partitions that still exist for a tier (directory
+    listing — the same metadata a catalog would serve)."""
+    import glob
+    import os
+
+    days = set()
+    for src_dir in glob.glob(f"{job.out_root}/source=*"):
+        if sources is not None:
+            if src_dir.rsplit("source=", 1)[1] not in sources:
+                continue
+        for d in glob.glob(f"{src_dir}/tier={tier}/window_day=*"):
+            days.add(int(os.path.basename(d).split("=", 1)[1]))
+    return days
+
+
+def route_range_tiered(
+    job,
+    start_ms: int,
+    end_ms: int,
+    resolution_sec: float,
+    sources: list[str] | None = None,
+    cfg: RollupConfig | None = None,
+) -> tuple[dict, DataFrame]:
+    """Retention-aware range read (data tiering): per window_day, read
+    the PREFERRED tier (coarsest sufficient for the resolution) where it
+    still exists, and fall back to the next COARSER tier for days where
+    retention already dropped it — fine tiers die young (north_rule), so
+    old days degrade to coarser windows instead of disappearing, exactly
+    the zoomed-out view a dashboard shows for old data. Returns
+    ({day: tier} plan, windows DataFrame with its `tier` column); days
+    with no surviving tier are simply absent. Each per-tier read is a
+    window_day-pruned `read_tier_range`."""
+    cfg = cfg or job.cfg
+    preferred = choose_tier(cfg, resolution_sec)
+    if preferred is None:
+        raise ValueError(
+            "resolution finer than every windowed tier — use route_points"
+        )
+    ladder = [name for name, _ in windowed_tiers(cfg)]
+    candidates = ladder[ladder.index(preferred):]  # preferred, then coarser
+    have = {t: available_days(job, t, sources) for t in candidates}
+    lo_day = start_ms // MS_PER_DAY
+    hi_day = (end_ms - 1) // MS_PER_DAY
+    plan: dict[int, str] = {}
+    for day in range(lo_day, hi_day + 1):
+        for t in candidates:
+            if day in have[t]:
+                plan[day] = t
+                break
+    parts = []
+    for t in sorted(set(plan.values())):
+        days = [d for d, pt in plan.items() if pt == t]
+        part = job.read_tier_range(t, start_ms, end_ms, sources).where(
+            F.col("window_day").isin(days)
+        )
+        parts.append(part)
+    if not parts:
+        empty = job.read_output().where(F.lit(False))
+        return plan, empty
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return plan, df
+
+
 def choose_divisor_tier(cfg: RollupConfig, resolution_sec: int) -> str | None:
     """Coarsest tier whose window width DIVIDES the requested resolution
     — the re-aggregation candidate: window starts are multiples of the
