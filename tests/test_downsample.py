@@ -108,3 +108,61 @@ def test_detect_gaps(spark):
     assert list(out.gap_start_ms) == [20_000, 110_000]
     assert list(out.gap_end_ms) == [100_000, 500_000]
     assert list(out.gap_ms) == [80_000, 390_000]
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """Bucketized range join == the naive cross-join filter, and the
+    physical plan is a hash/sort-merge join on (key, bucket), NOT a
+    BroadcastNestedLoopJoin."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.operators.asof import interval_join
+
+    rng = np.random.default_rng(5)
+    n_ev, n_iv = 2000, 60
+    ev = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], n_ev),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**7, n_ev) * 1000, unit="ms"
+            ),
+            "v": np.arange(n_ev),
+        }
+    )
+    lo = rng.integers(0, 10**7, n_iv)
+    ln = rng.integers(1, 300_000, n_iv)
+    iv = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], n_iv),
+            "start": pd.to_datetime(lo * 1000, unit="ms"),
+            "end": pd.to_datetime((lo + ln) * 1000, unit="ms"),
+            "iv_id": np.arange(n_iv),
+        }
+    )
+    E, I = spark.createDataFrame(ev), spark.createDataFrame(iv)
+    got = (
+        interval_join(E, I, key_cols=["key"])
+        .select("v", "iv_id")
+        .toPandas()
+        .sort_values(["v", "iv_id"])
+        .reset_index(drop=True)
+    )
+    naive = (
+        E.alias("e")
+        .join(I.alias("i"), F.col("e.key") == F.col("i.key"))
+        .where(
+            (F.col("e.ts") >= F.col("i.start")) & (F.col("e.ts") < F.col("i.end"))
+        )
+        .select("v", "iv_id")
+        .toPandas()
+        .sort_values(["v", "iv_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(naive)
+    plan = interval_join(E, I, key_cols=["key"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

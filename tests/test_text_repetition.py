@@ -130,3 +130,31 @@ def test_redact_pii(spark):
         out.loc[3, ["redact_url", "redact_email", "redact_ip", "redact_phone"]]
         == 0
     ).all()
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    """Two-pass candidate+recount top-k == the full groupBy top-k on
+    Zipf-skewed tokens, with ties broken identically; the full-key
+    shuffle only ever sees the candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.operators.text import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    toks = [f"tok{int(z)}" for z in rng.zipf(1.3, 40_000) % 2000]
+    df = spark.createDataFrame(
+        pd.DataFrame({"tok": toks})
+    ).repartition(8)
+    got = heavy_hitters(df, "tok", 20).toPandas()
+    want = (
+        df.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(20)
+        .toPandas()
+    )
+    assert list(got.tok) == list(want.tok)
+    assert list(got["count"]) == list(want["count"])

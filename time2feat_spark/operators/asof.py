@@ -127,3 +127,53 @@ def detect_gaps(
             (F.col("_t_ms") - F.col("_prev_ms")).alias("gap_ms"),
         )
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ev_ts: str = "ts",
+    iv_start: str = "start",
+    iv_end: str = "end",
+    key_cols: list[str] | None = None,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Range join: every (event, interval) pair with
+    `start <= event.ts < end` (and equal keys when `key_cols` given) —
+    the join Spark otherwise executes as a BroadcastNestedLoopJoin
+    (O(|events| * |intervals|), the classic range-join cliff).
+
+    Strategy: bucketize time. Each interval is exploded to the coarse
+    buckets it covers; events join on their single containing bucket
+    plus the keys (an ordinary shuffle HASH join), then the exact range
+    predicate filters within the bucket. An event's bucket is covered at
+    most once per interval, so no dedup is needed. `bucket_ms` defaults
+    to the longest interval (one cheap agg pass), bounding the explosion
+    at <= 2 buckets per interval; pass a smaller bucket for mostly-short
+    intervals with rare long outliers (explosion grows as
+    len/bucket_ms, selectivity per bucket improves)."""
+    key_cols = key_cols or []
+    t_ev = F.unix_millis(F.col(ev_ts).cast("timestamp"))
+    t_lo = F.unix_millis(F.col(iv_start).cast("timestamp"))
+    t_hi = F.unix_millis(F.col(iv_end).cast("timestamp"))
+    if bucket_ms is None:
+        bucket_ms = int(
+            intervals.agg(F.max(t_hi - t_lo)).first()[0] or 1
+        )
+        bucket_ms = max(bucket_ms, 1)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(t_lo / bucket_ms), F.floor((t_hi - 1) / bucket_ms)
+            )
+        ),
+    ).withColumns({"_lo_ms": t_lo, "_hi_ms": t_hi})
+    ev = events.withColumns(
+        {"_bucket": F.floor(t_ev / bucket_ms), "_ev_ms": t_ev}
+    )
+    joined = ev.join(iv, key_cols + ["_bucket"]).where(
+        (F.col("_ev_ms") >= F.col("_lo_ms"))
+        & (F.col("_ev_ms") < F.col("_hi_ms"))
+    )
+    return joined.drop("_bucket", "_ev_ms", "_lo_ms", "_hi_ms")

@@ -356,3 +356,51 @@ def redact_pii(
         counts[f"redact_{name}"] = F.regexp_count(t, F.lit(pat))
         red = F.regexp_replace(red, pat, placeholder)
     return df.withColumns({out_col: red, **counts})
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    candidates_per_partition: int | None = None,
+) -> DataFrame:
+    """Top-k most frequent values WITHOUT shuffling the full key space:
+    pass 1 computes per-partition frequency summaries and keeps each
+    partition's top candidates (Misra-Gries/SpaceSaving argument: any
+    value with global count > N/(c+1) survives in at least one
+    partition's top-c summary); pass 2 exactly recounts ONLY the
+    candidate set via a broadcast semi-join. At corpus scale this
+    replaces a shuffle keyed on EVERY distinct token (billions of
+    groups, giant hash state) with one keyed on <= c * partitions
+    candidates. Returns (value, count) exact for the true top-k whenever
+    their global frequency exceeds N / (candidates_per_partition + 1) —
+    pick c >> k (default 8k) for slack on skewless data."""
+    import pandas as pd
+
+    c = candidates_per_partition or 8 * k
+    field = df.schema[col]
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[col].value_counts()
+            for v, n in vc.items():
+                counts[v] = counts.get(v, 0) + int(n)
+        if not counts:
+            return
+        top = sorted(counts, key=counts.get, reverse=True)[:c]
+        yield pd.DataFrame({col: top})
+
+    from pyspark.sql.types import StructType
+
+    cand = df.select(col).mapInPandas(
+        summarize, StructType([field])
+    ).distinct()
+    exact = (
+        df.join(F.broadcast(cand), col, "leftsemi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return exact.orderBy(F.desc("count"), F.asc(col)).limit(k)
