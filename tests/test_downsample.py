@@ -166,3 +166,31 @@ def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
     ).executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_interval_join_empty_and_inverted_intervals_are_safe(spark):
+    """Regression (r4 review): end <= start intervals match nothing and
+    must NOT build a descending bucket sequence (F.sequence(1,0) is
+    [1,0]) or explode into span/bucket junk rows."""
+    import pandas as pd
+
+    from time2feat_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": pd.to_datetime([1_000_000, 2_000_000], unit="ms"),
+             "v": [1, 2]}
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # empty (end == start) and inverted (end << start)
+                "start": pd.to_datetime([1_000_000, 9_000_000], unit="ms"),
+                "end": pd.to_datetime([1_000_000, 0], unit="ms"),
+                "iv_id": [0, 1],
+            }
+        )
+    )
+    out = interval_join(ev, iv, bucket_ms=1000)
+    assert out.count() == 0

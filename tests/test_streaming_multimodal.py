@@ -444,3 +444,82 @@ def test_audio_real_path_rejects_non_pcm(spark):
     )
     with pytest.raises(Exception, match="Error|NotImplemented|wave|RIFF"):
         audio_frame_stats(df, deterministic_fake=False).collect()
+
+
+def test_avi_with_audio_stream_and_rec_lists(spark):
+    """Regression (r4 review): a non-video strl's strf (WAVEFORMATEX)
+    must not be parsed as BITMAPINFOHEADER, and frame chunks wrapped in
+    interleave 'rec ' LISTs must still be found."""
+    import struct
+
+    from time2feat_spark.operators.multimodal import _decode_avi_frames
+
+    frames = [np.full((6, 5, 3), v, dtype=np.uint8) for v in (40, 90)]
+    h, w = 6, 5
+    stride = (w * 3 + 3) & ~3
+
+    def dib(rgb):
+        rows = b""
+        for i in range(h - 1, -1, -1):
+            row = rgb[i, :, ::-1].astype(np.uint8).tobytes()
+            rows += row + b"\x00" * (stride - len(row))
+        return rows
+
+    def chunk(tag, payload):
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    def lst(list_type, payload):
+        return chunk(b"LIST", list_type + payload)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 33333, 0, 0, 0x10, 2, 0, 2, 0,
+                       w, h, 0, 0, 0, 0)
+    v_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0,
+                         0, 0, 1, 30, 0, 2, stride * h, 0, 0, 0, 0, w, h)
+    v_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                         2835, 2835, 0, 0)
+    # audio strl AFTER the video one; its strf is a 20-byte WAVEFORMAT-
+    # ish blob that would be garbage parsed as a BITMAPINFOHEADER
+    a_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds",
+                         b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0,
+                         8000, 8000, 0, 1, 0, 0, 0, 0)
+    a_strf = struct.pack("<HHIIHHI", 1, 1, 8000, 8000, 1, 8, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", v_strh) + chunk(b"strf", v_strf))
+        + lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf)),
+    )
+    # every frame chunk wrapped in an interleave 'rec ' list
+    movi = lst(
+        b"movi",
+        b"".join(lst(b"rec ", chunk(b"00db", dib(f))) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    n, frame = _decode_avi_frames(avi)
+    assert n == 2
+    assert (frame(0) == 40.0).all() and (frame(1) == 90.0).all()
+
+
+def test_compressed_bmp_falls_through_to_pil(spark):
+    """Regression (r4 review): a BMP the stdlib decoder cannot handle
+    must fall THROUGH to the PIL branch (here: PIL absent => the import
+    error surfaces, proving the fallthrough), never fail with the
+    stdlib NotImplementedError."""
+    import struct
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — fallthrough exercised by decode")
+    except ImportError:
+        pass
+    rle = bytearray(_write_bmp24(np.zeros((4, 4, 3), dtype=np.uint8)))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8: stdlib path refuses
+    df = spark.createDataFrame(
+        [("a", bytearray(bytes(rle)))], "doc_id string, media binary"
+    )
+    with pytest.raises(Exception, match="PIL|ModuleNotFound"):
+        image_features(df, deterministic_fake=False).collect()

@@ -103,12 +103,14 @@ def test_redact_pii(spark):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
+            "doc_id": [1, 2, 3, 4],
             "text": [
                 "see https://example.com/a?b=1 or www.test.org now",
                 "mail bob.smith+x@corp.io from 192.168.0.1 or call "
                 "+1 (555) 123-4567",
                 "clean text with no identifiers at all",
+                # country code must be OPTIONAL: plain 10-digit forms
+                "dial 555-123-4567 or (555) 987.6543 today",
             ],
         }
     )
@@ -125,6 +127,8 @@ def test_redact_pii(spark):
     assert (
         out.loc[2, ["redact_email", "redact_ip", "redact_phone"]] == 1
     ).all()
+    assert out.loc[4, "text_redacted"] == "dial <PHONE> or <PHONE> today"
+    assert out.loc[4, "redact_phone"] == 2
     assert out.loc[3, "text_redacted"] == out.loc[3, "text"]
     assert (
         out.loc[3, ["redact_url", "redact_email", "redact_ip", "redact_phone"]]
@@ -158,3 +162,29 @@ def test_heavy_hitters_matches_exact_topk(spark):
     )
     assert list(got.tok) == list(want.tok)
     assert list(got["count"]) == list(want["count"])
+
+
+def test_heavy_hitters_bounded_state_prune_path(spark):
+    """With a tiny candidate budget the batched Misra-Gries prune kicks
+    in (summary capped at 16c entries) and the dominant values still
+    reach the exact recount."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.operators.text import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # 5000 distinct rare tokens + 5 dominant ones, one partition so the
+    # per-partition summary must prune repeatedly (prune_at = 16*8 = 128)
+    toks = [f"rare{i}" for i in range(5000)] + [
+        f"hot{j}" for j in range(5) for _ in range(2000)
+    ]
+    rng.shuffle(toks)
+    df = spark.createDataFrame(
+        pd.DataFrame({"tok": toks})
+    ).coalesce(1)
+    got = heavy_hitters(df, "tok", 5, candidates_per_partition=8).toPandas()
+    assert list(got.tok) == [f"hot{j}" for j in range(5)]
+    assert (got["count"] == 2000).all()

@@ -161,7 +161,11 @@ def interval_join(
             intervals.agg(F.max(t_hi - t_lo)).first()[0] or 1
         )
         bucket_ms = max(bucket_ms, 1)
-    iv = intervals.withColumn(
+    # drop empty/inverted intervals FIRST: [start, end) with end <= start
+    # matches nothing, and without this filter the bucket sequence would
+    # be DESCENDING (CLAUDE.md: F.sequence(1, 0) = [1, 0], not empty) —
+    # dirty end<start data would explode into O(span/bucket) junk rows
+    iv = intervals.where(t_hi > t_lo).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -134,24 +134,9 @@ def _decode_bmp_gray(b: bytes) -> np.ndarray:
             "(PIL) — stdlib path covers uncompressed 8/24-bpp only"
         )
     flip = height > 0  # positive height = bottom-up row order
-    height = abs(height)
-    stride = ((bpp * width + 31) // 32) * 4
-    rows = np.frombuffer(
-        b, dtype=np.uint8, count=stride * height, offset=data_off
-    ).reshape(height, stride)
-    if bpp == 24:
-        px = rows[:, : width * 3].reshape(height, width, 3)
-        # BGR byte order
-        gray = (
-            px[:, :, 2].astype(np.int64) * 299
-            + px[:, :, 1].astype(np.int64) * 587
-            + px[:, :, 0].astype(np.int64) * 114
-        ) // 1000
-    else:
-        gray = rows[:, :width].astype(np.int64)
-    if flip:
-        gray = gray[::-1]
-    return gray.astype(np.float64)
+    return _bgr_rows_to_gray(
+        b, width, abs(height), bpp, flip, offset=data_off
+    )
 
 
 def _bgr_rows_to_gray(
@@ -206,6 +191,14 @@ def _decode_avi_frames(b: bytes):
     width = height = bpp = None
     compression = None
     frames: list[tuple[int, int]] = []
+    def scan_movi(start: int, end: int) -> None:
+        for t2, d2, s2 in _iter_riff_chunks(b, start, end):
+            if t2 == b"LIST" and b[d2:d2 + 4] == b"rec ":
+                # interleaved AVIs group frame chunks in 'rec ' lists
+                scan_movi(d2 + 4, d2 + s2)
+            elif t2[2:4] in (b"db", b"dc"):
+                frames.append((d2, s2))
+
     for tag, data, size in _iter_riff_chunks(b, 12, min(8 + riff_size, len(b))):
         if tag != b"LIST":
             continue
@@ -213,18 +206,21 @@ def _decode_avi_frames(b: bytes):
         if list_type == b"hdrl":
             for t2, d2, s2 in _iter_riff_chunks(b, data + 4, data + size):
                 if t2 == b"LIST" and b[d2:d2 + 4] == b"strl":
+                    # only the VIDEO stream's strf is a BITMAPINFOHEADER
+                    # (an audio strl carries a WAVEFORMATEX here —
+                    # parsing it as video would clobber width/bpp)
+                    is_vids = False
                     for t3, d3, s3 in _iter_riff_chunks(b, d2 + 4, d2 + s2):
-                        if t3 == b"strf" and s3 >= 20:
-                            # BITMAPINFOHEADER of the video stream
+                        if t3 == b"strh":
+                            is_vids = b[d3:d3 + 4] == b"vids"
+                        elif t3 == b"strf" and is_vids and s3 >= 20:
                             width, height = struct.unpack_from("<ii", b, d3 + 4)
                             (bpp,) = struct.unpack_from("<H", b, d3 + 14)
                             (compression,) = struct.unpack_from(
                                 "<I", b, d3 + 16
                             )
         elif list_type == b"movi":
-            for t2, d2, s2 in _iter_riff_chunks(b, data + 4, data + size):
-                if t2[2:4] in (b"db", b"dc"):
-                    frames.append((d2, s2))
+            scan_movi(data + 4, data + size)
     if width is None:
         raise ValueError("AVI has no video stream format (strf)")
     if compression != 0 or bpp not in (8, 24):
@@ -298,11 +294,16 @@ def image_features(
                     nb[i] = len(b)
                     if b[:2] == b"BM":
                         # stdlib path: uncompressed BMP needs no codec
-                        # (runs and is tested in codec-less sandboxes)
-                        px[i] = _resize_area(
-                            _decode_bmp_gray(b), thumb
-                        ).reshape(n_px)
-                        continue
+                        # (runs and is tested in codec-less sandboxes);
+                        # compressed/exotic-depth BMPs fall THROUGH to
+                        # PIL rather than failing the task
+                        try:
+                            px[i] = _resize_area(
+                                _decode_bmp_gray(b), thumb
+                            ).reshape(n_px)
+                            continue
+                        except NotImplementedError:
+                            pass
                     from PIL import Image  # noqa: import inside worker
 
                     im = Image.open(io.BytesIO(b)).convert("L").resize(

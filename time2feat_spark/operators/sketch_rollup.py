@@ -212,14 +212,16 @@ def quantile_buckets_approx(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        keys = pdf[group_cols].apply(tuple, axis=1)
-        codes, uniq = pd.factorize(keys)
+        # vectorized multi-column group codes (no per-row Python —
+        # .apply(tuple, axis=1) would call Python once per window row)
+        midx = pd.MultiIndex.from_frame(pdf[group_cols])
+        codes, uniq = midx.factorize()
         sk = np.vstack([np.asarray(s, dtype=np.float64) for s in pdf["sketch"]])
         merged = merge_sketches(sk, codes, len(uniq))
         res = {
-            id_col: [u[0] for u in uniq],
-            "bucket_start_ms": np.asarray(
-                [u[1] for u in uniq], dtype=np.int64
+            id_col: uniq.get_level_values(0).to_numpy(),
+            "bucket_start_ms": uniq.get_level_values(1).to_numpy().astype(
+                np.int64
             ),
             "count": merged[:, 0].astype(np.int64),
         }

@@ -329,7 +329,9 @@ REDACTION_PATTERNS: list[tuple[str, str]] = [
     ("<EMAIL>", r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"),
     ("<IP>", r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
              r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"),
-    ("<PHONE>", r"(?<![\d.])\+?\d{1,2}[\s.-]?\(?\d{3}\)?[\s.-]?"
+    # country code OPTIONAL: plain 10-digit forms (555-123-4567,
+    # (555) 123-4567) must match too, not only +1-prefixed ones
+    ("<PHONE>", r"(?<![\d.])(?:\+?\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]?"
                 r"\d{3}[\s.-]?\d{4}(?![\d.])"),
 ]
 
@@ -372,12 +374,18 @@ def heavy_hitters(
     candidate set via a broadcast semi-join. At corpus scale this
     replaces a shuffle keyed on EVERY distinct token (billions of
     groups, giant hash state) with one keyed on <= c * partitions
-    candidates. Returns (value, count) exact for the true top-k whenever
-    their global frequency exceeds N / (candidates_per_partition + 1) —
-    pick c >> k (default 8k) for slack on skewless data."""
+    candidates; pass-1 worker state is BOUNDED at O(c) via batched
+    Misra-Gries decrements (whenever the summary exceeds 16c entries,
+    the (4c+1)-th largest count is subtracted from every entry and
+    non-positive ones dropped — the classic guarantee: total decrement
+    per partition <= N_p/(4c+1), so any value with partition frequency
+    above that survives to the candidate set). Returns (value, count)
+    exact for the true top-k whenever their frequency clears that
+    bar — pick c >> k (default 8k) for slack on skewless data."""
     import pandas as pd
 
     c = candidates_per_partition or 8 * k
+    keep_at, prune_at = 4 * c, 16 * c
     field = df.schema[col]
 
     def summarize(batches):
@@ -388,6 +396,12 @@ def heavy_hitters(
             vc = pdf[col].value_counts()
             for v, n in vc.items():
                 counts[v] = counts.get(v, 0) + int(n)
+            if len(counts) > prune_at:
+                # batched Misra-Gries decrement: bound state at O(c)
+                thresh = sorted(counts.values(), reverse=True)[keep_at]
+                counts = {
+                    v: n - thresh for v, n in counts.items() if n > thresh
+                }
         if not counts:
             return
         top = sorted(counts, key=counts.get, reverse=True)[:c]

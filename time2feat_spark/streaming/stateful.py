@@ -19,7 +19,14 @@ session_start_ms when they predate it), and ones MORE than the gap
 before the open session's start form their own earlier session(s) —
 gap-split among themselves, bridged into the open session only when the
 run actually reaches within the gap — matching the batch rule instead
-of silently widening the open session past its gap bound.
+of silently widening the open session past its gap bound. One residual
+divergence is inherent to append mode: a gap-closed early session is
+emitted immediately and is FINAL, so if a subsequent micro-batch (still
+inside the watermark) delivers an event that would bridge it to the
+open session, batch sessionize merges them but the stream has already
+split — emitted output cannot be retracted. Exactness therefore needs
+the disorder bound to hold WITHIN the early-event runs too, not just
+against the watermark.
 
 Scale posture: state is one tiny tuple per ACTIVE key (not per event);
 the shuffle is the standard streaming groupBy(key) exchange; Arrow
@@ -223,8 +230,12 @@ def streaming_dedup(
         first_id = None
         for pdf in pdf_iter:
             if len(pdf):
-                if first_id is None:
-                    first_id = pdf["doc_id"].iloc[0]
+                # min over the batch, NOT first-row-of-first-chunk:
+                # Arrow chunk order is shuffle-timing-dependent, and the
+                # batch operator (dedup_resolve) keeps min(doc_id) — the
+                # surviving id must be reproducible across replays
+                m = pdf["doc_id"].min()
+                first_id = m if first_id is None else min(first_id, m)
                 n += len(pdf)
         already = state.exists
         if not already:
