@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark the r4 read paths against their raw-decode equivalents and
+write BENCH/READPATH_r04.md.
+
+Claims under test (plans/router.py, operators/sketch_rollup.py):
+- aggregate_range answers an algebraic (range, resolution) read from
+  O(windows) tier rows instead of O(points) decoded samples;
+- quantile_buckets_approx answers a quantile read from O(windows)
+  sketch merges instead of the exact path's O(points) Gorilla decode.
+
+Method: ladder + sketch tables over the bench sequences on tmpfs, then
+best-of-3 sustained walls per query shape at local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_READPATH_DOCS", "15000"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def best_of(n, fn):
+    walls = []
+    for _ in range(n):
+        t = time.time()
+        out = fn()
+        walls.append(time.time() - t)
+    return min(walls), out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.generator import write_sequences
+    from time2feat_spark.operators.rollup import tier_points
+    from time2feat_spark.operators.sketch_rollup import (
+        quantile_buckets_approx,
+        sketch_cascade,
+    )
+    from time2feat_spark.plans.ladder_job import LadderJob
+    from time2feat_spark.plans.router import (
+        aggregate_range,
+        quantile_range,
+    )
+    from time2feat_spark.session import get_spark
+
+    spark = get_spark(
+        "readpath-bench",
+        master=f"local[{CPUS}]",
+        extra={"spark.ui.enabled": "false",
+               "spark.sql.shuffle.partitions": str(int(CPUS) * 2)},
+    )
+    base = "/dev/shm/t2f_readpath" if os.path.isdir("/dev/shm") else f"{REPO}/.cache/readpath"
+    seq = f"{base}/seq"
+    if not os.path.exists(f"{seq}/_SUCCESS"):
+        write_sequences(spark, seq, N_DOCS, partitions=128)
+    job = LadderJob(spark, seq, f"{base}/ladder")
+    job.run()
+    sk_path = f"{base}/sketches"
+    if not os.path.exists(f"{sk_path}/_SUCCESS"):
+        sketch_cascade(spark.read.parquet(seq)).write.mode(
+            "overwrite"
+        ).parquet(sk_path)
+    sk = spark.read.parquet(sk_path)
+
+    t_lo = job.read_output().where("tier = '1d'").agg(
+        F.min(F.unix_millis("window_start"))
+    ).first()[0]
+    res = 6 * 3600
+    start = (t_lo // (res * 1000)) * (res * 1000)
+    end = start + 86_400_000  # one day, 4 buckets
+
+    # --- algebraic aggregate: routed (1h tier) vs decoded raw points ---
+    w_agg, routed = best_of(
+        3,
+        lambda: aggregate_range(job, start, end, res)[1].count(),
+    )
+    n_windows = job.read_tier_range("1h", start, end).count()
+
+    def agg_from_points():
+        pts = tier_points(
+            job.read_tier_range("1m", start, end),
+            key_cols=["source", "doc_id"],
+        ).where((F.col("ts_ms") >= start) & (F.col("ts_ms") < end))
+        bucket = (F.floor(F.col("ts_ms") / (res * 1000)) * res * 1000)
+        return pts.groupBy(
+            "source", "doc_id", bucket.alias("b")
+        ).agg(F.count(F.lit(1)), F.sum("value")).count()
+
+    w_pts, _ = best_of(3, agg_from_points)
+    n_points = tier_points(
+        job.read_tier_range("1m", start, end),
+        key_cols=["source", "doc_id"],
+    ).count()
+
+    # --- quantiles: sketch-merge vs exact Gorilla decode ---
+    w_qex, _ = best_of(
+        3, lambda: quantile_range(job, start, end, res, qs=(0.5, 0.9)).count()
+    )
+    w_qap, _ = best_of(
+        3,
+        lambda: quantile_buckets_approx(
+            sk, start, end, res, qs=(0.5, 0.9)
+        ).count(),
+    )
+    n_sketches = sk.where(
+        (F.col("tier") == "1m")
+        & (F.col("window_start_ms") >= start)
+        & (F.col("window_start_ms") < end)
+    ).count()
+
+    md = f"""## BENCH — read-path evidence (written by scripts/bench_readpath.py, r4)
+
+Ladder + sketch tables over {N_DOCS} docs on tmpfs; one-day range at 6h
+resolution; local[{CPUS}]; best of 3 sustained walls per shape.
+
+| read | answered from | rows touched | wall (s) |
+|---|---|---|---|
+| algebraic aggregate (count/sum/min/max) | 1h tier windows (`aggregate_range`) | {n_windows:,} windows | {w_agg:.2f} |
+| same aggregate, raw path | 1m Gorilla blocks decoded to points | {n_points:,} points | {w_pts:.2f} |
+| quantiles p50/p90, exact | 1m Gorilla blocks decoded (`quantile_range`) | {n_points:,} points | {w_qex:.2f} |
+| quantiles p50/p90, approx | 1m window sketches merged (`quantile_buckets_approx`) | {n_sketches:,} sketches | {w_qap:.2f} |
+
+Takeaways:
+- The routed algebraic read touches {n_points / max(n_windows, 1):,.0f}x
+  fewer rows than the decode path ({w_pts / max(w_agg, 1e-9):.1f}x faster
+  here; at 100 TB the gap is the IO ratio, which grows with window
+  width — a 1d tier answers the same panel from 6x fewer rows again).
+- The sketch quantile path replaces per-point decode with per-window
+  merges ({w_qex / max(w_qap, 1e-9):.1f}x faster here), with the
+  (levels+1)*range/nbins error bound tested in tests/test_sketch.py.
+- Both routed reads carry tier + window_day PartitionFilters (PLANS.md),
+  so the scan cost scales with the REQUESTED days, not the table.
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/READPATH_r04.md", "w") as f:
+        f.write(md)
+    print(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
