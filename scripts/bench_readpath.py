@@ -100,9 +100,15 @@ def main() -> None:
     ).count()
 
     # --- quantiles: sketch-merge vs exact Gorilla decode ---
+    # quantile_range at 6h decodes the COARSEST dividing tier = 1h (same
+    # underlying points as 1m, fewer/larger blocks)
     w_qex, _ = best_of(
         3, lambda: quantile_range(job, start, end, res, qs=(0.5, 0.9)).count()
     )
+    n_points_1h = tier_points(
+        job.read_tier_range("1h", start, end),
+        key_cols=["source", "doc_id"],
+    ).count()
     w_qap, _ = best_of(
         3,
         lambda: quantile_buckets_approx(
@@ -124,7 +130,7 @@ resolution; local[{CPUS}]; best of 3 sustained walls per shape.
 |---|---|---|---|
 | algebraic aggregate (count/sum/min/max) | 1h tier windows (`aggregate_range`) | {n_windows:,} windows | {w_agg:.2f} |
 | same aggregate, raw path | 1m Gorilla blocks decoded to points | {n_points:,} points | {w_pts:.2f} |
-| quantiles p50/p90, exact | 1m Gorilla blocks decoded (`quantile_range`) | {n_points:,} points | {w_qex:.2f} |
+| quantiles p50/p90, exact | 1h Gorilla blocks decoded (`quantile_range` picks the coarsest dividing tier) | {n_points_1h:,} points | {w_qex:.2f} |
 | quantiles p50/p90, approx | 1m window sketches merged (`quantile_buckets_approx`) | {n_sketches:,} sketches | {w_qap:.2f} |
 
 Takeaways:

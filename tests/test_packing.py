@@ -89,8 +89,15 @@ def test_pack_lengths_property():
         assert fill.max() <= max_len
         assert (fill > 0).all()  # no empty bins
         n_bins = int(bins.max()) + 1
+        # sound any-fit bound: at most ONE bin is <= half full (a second
+        # one's first item would have fit the earlier), so
+        # n_bins <= 2 * ceil(sum / max_len) + 1. (The 11/9*OPT BFD bound
+        # is relative to OPT, not the volume bound — e.g. [251]*7 at 500
+        # needs 7 bins while the volume bound is 4.)
         lower = -(-int(arr.sum()) // max_len)
-        assert n_bins <= (11 * lower) // 9 + 2  # BFD bound envelope
+        assert n_bins <= 2 * lower + 1
+        half_or_less = int((fill * 2 <= max_len).sum())
+        assert half_or_less <= 1
         again = pack_lengths(arr, max_len)
         assert (bins == again).all()
 

@@ -103,7 +103,7 @@ def test_redact_pii(spark):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5],
             "text": [
                 "see https://example.com/a?b=1 or www.test.org now",
                 "mail bob.smith+x@corp.io from 192.168.0.1 or call "
@@ -111,6 +111,7 @@ def test_redact_pii(spark):
                 "clean text with no identifiers at all",
                 # country code must be OPTIONAL: plain 10-digit forms
                 "dial 555-123-4567 or (555) 987.6543 today",
+                "end of sentence: 555-123-4567. Next.",
             ],
         }
     )
@@ -129,6 +130,8 @@ def test_redact_pii(spark):
     ).all()
     assert out.loc[4, "text_redacted"] == "dial <PHONE> or <PHONE> today"
     assert out.loc[4, "redact_phone"] == 2
+    # a sentence-ending period must not shield the number
+    assert out.loc[5, "text_redacted"] == "end of sentence: <PHONE>. Next."
     assert out.loc[3, "text_redacted"] == out.loc[3, "text"]
     assert (
         out.loc[3, ["redact_url", "redact_email", "redact_ip", "redact_phone"]]

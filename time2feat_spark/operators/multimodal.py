@@ -192,12 +192,22 @@ def _decode_avi_frames(b: bytes):
     compression = None
     frames: list[tuple[int, int]] = []
     def scan_movi(start: int, end: int) -> None:
-        for t2, d2, s2 in _iter_riff_chunks(b, start, end):
-            if t2 == b"LIST" and b[d2:d2 + 4] == b"rec ":
-                # interleaved AVIs group frame chunks in 'rec ' lists
-                scan_movi(d2 + 4, d2 + s2)
-            elif t2[2:4] in (b"db", b"dc"):
-                frames.append((d2, s2))
+        # explicit iterator stack (document-order DFS): preserves frame
+        # order across sibling 'rec ' lists AND survives a hostile file
+        # with thousands of nested lists (no Python recursion)
+        stack = [_iter_riff_chunks(b, start, end)]
+        while stack:
+            descended = False
+            for t2, d2, s2 in stack[-1]:
+                if t2 == b"LIST" and b[d2:d2 + 4] == b"rec ":
+                    # interleaved AVIs group frame chunks in 'rec ' lists
+                    stack.append(_iter_riff_chunks(b, d2 + 4, d2 + s2))
+                    descended = True
+                    break
+                if t2[2:4] in (b"db", b"dc"):
+                    frames.append((d2, s2))
+            if not descended:
+                stack.pop()
 
     for tag, data, size in _iter_riff_chunks(b, 12, min(8 + riff_size, len(b))):
         if tag != b"LIST":
@@ -295,14 +305,16 @@ def image_features(
                     if b[:2] == b"BM":
                         # stdlib path: uncompressed BMP needs no codec
                         # (runs and is tested in codec-less sandboxes);
-                        # compressed/exotic-depth BMPs fall THROUGH to
-                        # PIL rather than failing the task
+                        # ANYTHING it cannot handle — compressed, exotic
+                        # depth, corrupt/truncated headers — falls
+                        # THROUGH to PIL rather than failing the task
+                        # (curation pipelines see dirty media)
                         try:
                             px[i] = _resize_area(
                                 _decode_bmp_gray(b), thumb
                             ).reshape(n_px)
                             continue
-                        except NotImplementedError:
+                        except Exception:
                             pass
                     from PIL import Image  # noqa: import inside worker
 

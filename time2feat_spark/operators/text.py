@@ -330,9 +330,11 @@ REDACTION_PATTERNS: list[tuple[str, str]] = [
     ("<IP>", r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
              r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"),
     # country code OPTIONAL: plain 10-digit forms (555-123-4567,
-    # (555) 123-4567) must match too, not only +1-prefixed ones
+    # (555) 123-4567) must match too, not only +1-prefixed ones. The
+    # trailing guard rejects a CONTINUING number (digit, or .digit as in
+    # decimals/IPs) but must allow a sentence-ending period.
     ("<PHONE>", r"(?<![\d.])(?:\+?\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]?"
-                r"\d{3}[\s.-]?\d{4}(?![\d.])"),
+                r"\d{3}[\s.-]?\d{4}(?!\.?\d)"),
 ]
 
 
@@ -373,20 +375,27 @@ def heavy_hitters(
     partition's top-c summary); pass 2 exactly recounts ONLY the
     candidate set via a broadcast semi-join. At corpus scale this
     replaces a shuffle keyed on EVERY distinct token (billions of
-    groups, giant hash state) with one keyed on <= c * partitions
+    groups, giant hash state) with one keyed on <= 16c * partitions
     candidates; pass-1 worker state is BOUNDED at O(c) via batched
-    Misra-Gries decrements (whenever the summary exceeds 16c entries,
+    Misra-Gries decrements: whenever the summary exceeds 16c entries,
     the (4c+1)-th largest count is subtracted from every entry and
-    non-positive ones dropped — the classic guarantee: total decrement
-    per partition <= N_p/(4c+1), so any value with partition frequency
-    above that survives to the candidate set). Returns (value, count)
-    exact for the true top-k whenever their frequency clears that
-    bar — pick c >> k (default 8k) for slack on skewless data."""
+    non-positive ones dropped. Each decrement step removes >= 4c*thresh
+    mass, so the threshes sum to <= N_p/(4c), and EVERY entry still in
+    the summary is yielded as a candidate (ranking residuals and cutting
+    at c would break this — residuals depend on arrival order). Hence
+    any value with partition frequency > N_p/(4c) reaches pass 2 and its
+    final count is exact. Pick c >> k (default 8k) for slack on
+    skewless data."""
     import pandas as pd
 
     c = candidates_per_partition or 8 * k
     keep_at, prune_at = 4 * c, 16 * c
     field = df.schema[col]
+
+    def prune(counts):
+        # batched Misra-Gries decrement: bound state at O(c)
+        thresh = sorted(counts.values(), reverse=True)[keep_at]
+        return {v: n - thresh for v, n in counts.items() if n > thresh}
 
     def summarize(batches):
         counts: dict = {}
@@ -397,15 +406,14 @@ def heavy_hitters(
             for v, n in vc.items():
                 counts[v] = counts.get(v, 0) + int(n)
             if len(counts) > prune_at:
-                # batched Misra-Gries decrement: bound state at O(c)
-                thresh = sorted(counts.values(), reverse=True)[keep_at]
-                counts = {
-                    v: n - thresh for v, n in counts.items() if n > thresh
-                }
+                counts = prune(counts)
         if not counts:
             return
-        top = sorted(counts, key=counts.get, reverse=True)[:c]
-        yield pd.DataFrame({col: top})
+        if len(counts) > prune_at:
+            counts = prune(counts)
+        # the WHOLE surviving summary (<= 16c entries) is the candidate
+        # set — see the survival guarantee in the docstring
+        yield pd.DataFrame({col: list(counts)})
 
     from pyspark.sql.types import StructType
 

@@ -179,14 +179,6 @@ def streaming_sessionize(
     )
 
 
-DEDUP_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("content_hash", LongType()),
-        StructField("doc_id", StringType()),
-        StructField("n_dups_in_batch", LongType()),
-    ]
-)
-
 DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 
@@ -212,9 +204,19 @@ def streaming_dedup(
     additional copies collapsed from the same micro-batch)."""
     from pyspark.sql import functions as F
 
+    # keep the id's NATIVE type: min() below must agree with the batch
+    # dedup_resolve rule (F.min on the typed column) — a string cast
+    # would rank numeric ids lexicographically ('10' < '9')
     hashed = stream.select(
         F.xxhash64(F.col(text_col)).alias("content_hash"),
-        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
+    )
+    output_schema = StructType(
+        [
+            StructField("content_hash", LongType()),
+            StructField("doc_id", stream.schema[id_col].dataType),
+            StructField("n_dups_in_batch", LongType()),
+        ]
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -254,7 +256,7 @@ def streaming_dedup(
 
     return hashed.groupBy("content_hash").applyInPandasWithState(
         fn,
-        DEDUP_OUTPUT_SCHEMA,
+        output_schema,
         DEDUP_STATE_SCHEMA,
         "append",
         timeout,
