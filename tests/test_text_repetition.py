@@ -191,3 +191,66 @@ def test_heavy_hitters_bounded_state_prune_path(spark):
     got = heavy_hitters(df, "tok", 5, candidates_per_partition=8).toPandas()
     assert list(got.tok) == [f"hot{j}" for j in range(5)]
     assert (got["count"] == 2000).all()
+
+
+def test_long_doc_dup_lines_linear(spark):
+    """A 20k-line doc must complete in seconds: the r5 sorted-adjacent
+    formulation is O(L log L) per doc (the old per-line rescan was
+    O(L^2) — ~2x10^8 comparisons for this doc). Truth: 5000 distinct
+    lines x4 occurrences -> 15000/20000 repeats; every line is 8 chars
+    ("line0000") so the char fraction matches the line fraction."""
+    lines = [f"line{i:04d}" for i in range(5000)] * 4
+    doc = "\n".join(lines)
+    df = spark.createDataFrame([("L", doc)], "doc_id string, text string")
+    row = (
+        repetition_features(df, ngram_ns=(2,))
+        .select("rep_dup_line_frac", "rep_dup_line_char_frac")
+        .first()
+    )
+    assert row["rep_dup_line_frac"] == 0.75
+    assert row["rep_dup_line_char_frac"] == 0.75
+
+
+def test_redact_counts_match_replacements(spark):
+    """Counts are taken against the progressively-redacted text, so an
+    email living INSIDE a URL (swallowed by the earlier <URL> rule) is
+    not double-counted: redact_* always equals the replacements made."""
+    from time2feat_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "login at https://x.io/reset?user=bob@corp.io then "
+             "mail bob@corp.io")],
+        "doc_id int, text string",
+    )
+    row = redact_pii(df).first()
+    assert row["text_redacted"] == "login at <URL> then mail <EMAIL>"
+    assert row["redact_url"] == 1
+    assert row["redact_email"] == 1  # only the bare one; in-URL swallowed
+
+
+def test_heavy_hitters_guarantee_bound(spark):
+    """with_guarantee=True reports the total decrement mass: on skewed
+    data the k-th count clears it (provably exact top-k); on
+    adversarially flat data with a starved candidate budget the bound
+    exposes that the tail is NOT trustworthy."""
+    import pandas as pd
+
+    from time2feat_spark.operators.text import heavy_hitters
+
+    # skewed: hot tokens dominate, bound stays far below the k-th count
+    toks = [f"hot{j}" for j in range(5) for _ in range(500)] + [
+        f"rare{i}" for i in range(2000)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"tok": toks})).coalesce(1)
+    got = heavy_hitters(df, "tok", 5, candidates_per_partition=8,
+                        with_guarantee=True).toPandas()
+    assert list(got.tok) == [f"hot{j}" for j in range(5)]
+    assert (got["count"] > got["guarantee_bound"]).all()  # provably exact
+
+    # flat: every value occurs once -> nothing can clear the bound
+    flat = spark.createDataFrame(
+        pd.DataFrame({"tok": [f"v{i}" for i in range(3000)]})
+    ).coalesce(1)
+    gf = heavy_hitters(flat, "tok", 5, candidates_per_partition=8,
+                       with_guarantee=True).toPandas()
+    assert (gf["count"] <= gf["guarantee_bound"]).all()  # tail untrusted

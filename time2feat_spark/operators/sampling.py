@@ -8,21 +8,38 @@ adding data never reshuffles old rows between splits; an audit can
 recompute any row's assignment by hand). Spark's `rand()` guarantees
 none of that under retries/repartitioning.
 
-All hashing is `xxhash64(id, seed)` taken `pmod` a fixed resolution —
-one JVM expression, no shuffle for split/mixture; `sample_per_group`
+Default hashing is `xxhash64(id, seed)` taken `pmod` a fixed resolution
+— one JVM expression, no shuffle for split/mixture; `sample_per_group`
 needs the one shuffle its per-group top-k inherently requires.
+`hash_family='md5'` switches every operator to the cross-engine
+`functions/hashing.py::md5_64` family (~3x the CPU of xxhash64) so an
+external SQL engine can replay the exact assignment:
+
+  Spark : pmod(md5_64(concat_ws('|', id, seed)), 1000000)
+  DuckDB: CAST(('0x' || substr(md5(id || '|' || seed), 1, 15)) AS
+          BIGINT) % 1000000          (md5_64 is 60-bit, always >= 0)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.hashing import md5_64
 
 #: hash-bucket resolution for split/sampling thresholds (1 ppm grain)
 _RES = 1_000_000
 
 
-def _bucket(id_col: str, seed: int):
-    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_RES))
+def _hash(id_col: str, seed: int, hash_family: str) -> Column:
+    if hash_family == "md5":
+        return md5_64(
+            F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+        )
+    return F.xxhash64(F.col(id_col), F.lit(seed))
+
+
+def _bucket(id_col: str, seed: int, hash_family: str = "xxhash64"):
+    return F.pmod(_hash(id_col, seed, hash_family), F.lit(_RES))
 
 
 def deterministic_split(
@@ -31,6 +48,7 @@ def deterministic_split(
     id_col: str = "doc_id",
     seed: int = 0,
     out_col: str = "split",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a split label ("train"/"val"/...) with the given
     proportions by hashing its id into [0, 1) — stable across runs,
@@ -40,7 +58,7 @@ def deterministic_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    b = _bucket(id_col, seed)
+    b = _bucket(id_col, seed, hash_family)
     expr = None
     acc = 0.0
     labels = list(weights)
@@ -60,13 +78,16 @@ def sample_fraction(
     fraction: float,
     id_col: str = "doc_id",
     seed: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~fraction of rows, hash-deterministically (a row is kept in
     EVERY run with the same seed, and a kept row stays kept when other
     rows are added — unlike df.sample). No shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.where(_bucket(id_col, seed) < int(round(fraction * _RES)))
+    return df.where(
+        _bucket(id_col, seed, hash_family) < int(round(fraction * _RES))
+    )
 
 
 def sample_per_group(
@@ -75,13 +96,14 @@ def sample_per_group(
     k: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """EXACTLY min(k, group size) rows per group, chosen by hash order —
     a deterministic reservoir ('give me 1000 docs per language'). One
     shuffle on the group key; `WindowGroupLimit` caps the per-group sort
     at k rows, so no group is fully sorted."""
     w = Window.partitionBy(*key_cols).orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+        _hash(id_col, seed, hash_family), F.col(id_col)
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -97,6 +119,7 @@ def mixture_sample(
     total_rows: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Down-sample each source so the result approximates `total_rows`
     rows distributed per `target_weights` — training-mixture shaping
@@ -118,7 +141,7 @@ def mixture_sample(
         want = total_rows * (wgt / total_w)
         have = counts.get(src, 0)
         fracs[src] = min(want / have, 1.0) if have else 0.0
-    b = _bucket(id_col, seed)
+    b = _bucket(id_col, seed, hash_family)
     keep = None
     for src, frac in fracs.items():
         cond = (F.col(source_col) == src) & (

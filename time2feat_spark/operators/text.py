@@ -121,8 +121,13 @@ def repetition_features(
       frequent word n-gram / total chars, for each n in ``ngram_ns``.
 
     Scale posture: the line rules are pure array expressions (one scan,
-    no shuffle; the duplicate scan is O(lines^2) per doc in codegen —
-    lines per doc is small and bounded by the min-chars rules upstream).
+    no shuffle). Duplicate detection is O(L log L) per doc: repeats =
+    total - distinct, and the chars they cover fall out of `array_sort`
+    — after sorting, exactly the occurrences equal to their left
+    neighbor are the repeat occurrences, so one zip-with-shifted pass
+    sums their lengths. (The pre-r5 formulation re-scanned all earlier
+    lines per line — O(L^2) per doc, a scale-killer on 100k-line crawl
+    docs that this operator sees BEFORE any length filtering.)
     The n-gram mode is NOT expressible without a per-doc quadratic blow-
     up on long docs, so it uses the standard scalable shape: explode ->
     two-level aggregate keyed on (doc, n, gram) -> max-struct per doc —
@@ -136,24 +141,21 @@ def repetition_features(
     line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
     )
-    # occurrence i is a REPEAT if an earlier index holds the same line
-    idx = F.when(
-        n_lines >= 1, F.sequence(F.lit(1), n_lines)
-    ).otherwise(F.array().cast("array<int>"))
-    rep_mask = F.transform(
-        idx,
-        lambda i: F.size(
-            F.filter(
-                F.slice(lines, 1, i.cast("int") - 1),
-                lambda x: x == F.element_at(lines, i.cast("int")),
-            )
-        )
-        > 0,
+    # occurrence i is a REPEAT if an earlier index holds the same line:
+    # repeats = total - distinct, and their chars come from one sorted
+    # adjacent-equal pass (zip each sorted line with its left neighbor
+    # via a null-padded shift; zip_with pads the shorter side with NULL,
+    # so the extra tail element compares null==x -> 0)
+    rep_lines = n_lines - F.size(F.array_distinct(lines))
+    sorted_lines = F.array_sort(lines)
+    prev_padded = F.concat(
+        F.array(F.lit(None).cast("string")), sorted_lines
     )
-    rep_lines = F.size(F.filter(rep_mask, lambda m: m))
     rep_chars = F.aggregate(
         F.zip_with(
-            lines, rep_mask, lambda l, m: F.when(m, F.length(l)).otherwise(0)
+            sorted_lines,
+            prev_padded,
+            lambda cur, prev: F.when(cur == prev, F.length(cur)).otherwise(0),
         ),
         F.lit(0),
         lambda acc, c: acc + c,
@@ -347,17 +349,21 @@ def redact_pii(
     """Replace URLs / emails / IPs / phone numbers with typed
     placeholders and count the replacements per category — the standard
     pre-training scrub. One chained `regexp_replace` expression per
-    pattern, whole-stage codegen, no Python; counts come from
-    `regexp_count` on the ORIGINAL text so later rules don't hide
-    earlier matches. Adds `{out_col}` plus `redact_<name>` count
-    columns (name = placeholder without brackets, lowercased)."""
+    pattern, whole-stage codegen, no Python. Each category is counted
+    against the text AFTER the earlier patterns were applied, so
+    `redact_<name>` equals the number of replacements that pattern
+    actually made (an email swallowed inside an already-redacted URL is
+    NOT counted — counts and the redacted text always agree). Adds
+    `{out_col}` plus `redact_<name>` count columns (name = placeholder
+    without brackets, lowercased)."""
     patterns = patterns if patterns is not None else REDACTION_PATTERNS
-    t = F.col(text_col)
-    red = t
+    red = F.col(text_col)
     counts = {}
     for placeholder, pat in patterns:
         name = placeholder.strip("<>").lower()
-        counts[f"redact_{name}"] = F.regexp_count(t, F.lit(pat))
+        # count on the progressively-redacted state (the expression tree
+        # repeats the earlier replaces per count column; all codegen)
+        counts[f"redact_{name}"] = F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, placeholder)
     return df.withColumns({out_col: red, **counts})
 
@@ -367,6 +373,7 @@ def heavy_hitters(
     col: str,
     k: int,
     candidates_per_partition: int | None = None,
+    with_guarantee: bool = False,
 ) -> DataFrame:
     """Top-k most frequent values WITHOUT shuffling the full key space:
     pass 1 computes per-partition frequency summaries and keeps each
@@ -385,20 +392,26 @@ def heavy_hitters(
     at c would break this — residuals depend on arrival order). Hence
     any value with partition frequency > N_p/(4c) reaches pass 2 and its
     final count is exact. Pick c >> k (default 8k) for slack on
-    skewless data."""
+    skewless data.
+
+    `with_guarantee=True` adds a constant `guarantee_bound` column: the
+    total decrement mass across all partition summaries. Any value
+    absent from the candidate set has global count <= that bound, so
+    the result is PROVABLY the exact top-k iff its k-th `count` exceeds
+    `guarantee_bound`; when it does not (adversarially flat data with a
+    too-small c), callers should re-run with a larger
+    `candidates_per_partition` instead of trusting the tail. Computing
+    the bound materializes the candidate pass eagerly (one
+    localCheckpoint + a scalar agg) — the default stays fully lazy."""
     import pandas as pd
 
     c = candidates_per_partition or 8 * k
     keep_at, prune_at = 4 * c, 16 * c
     field = df.schema[col]
 
-    def prune(counts):
-        # batched Misra-Gries decrement: bound state at O(c)
-        thresh = sorted(counts.values(), reverse=True)[keep_at]
-        return {v: n - thresh for v, n in counts.items() if n > thresh}
-
     def summarize(batches):
         counts: dict = {}
+        dec = 0  # total decrement mass = this partition's undercount bound
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -406,23 +419,42 @@ def heavy_hitters(
             for v, n in vc.items():
                 counts[v] = counts.get(v, 0) + int(n)
             if len(counts) > prune_at:
-                counts = prune(counts)
+                # batched Misra-Gries decrement: bound state at O(c)
+                thresh = sorted(counts.values(), reverse=True)[keep_at]
+                dec += thresh
+                counts = {v: n - thresh for v, n in counts.items() if n > thresh}
         if not counts:
             return
         if len(counts) > prune_at:
-            counts = prune(counts)
+            thresh = sorted(counts.values(), reverse=True)[keep_at]
+            dec += thresh
+            counts = {v: n - thresh for v, n in counts.items() if n > thresh}
         # the WHOLE surviving summary (<= 16c entries) is the candidate
-        # set — see the survival guarantee in the docstring
-        yield pd.DataFrame({col: list(counts)})
+        # set — see the survival guarantee in the docstring; _dec rides
+        # along on the first row only so sum(_dec) = sum over partitions
+        yield pd.DataFrame(
+            {col: list(counts), "_dec": [dec] + [0] * (len(counts) - 1)}
+        )
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    cand = df.select(col).mapInPandas(
-        summarize, StructType([field])
-    ).distinct()
+    summary = df.select(col).mapInPandas(
+        summarize, StructType([field, StructField("_dec", LongType())])
+    )
+    bound = None
+    if with_guarantee:
+        # candidate pass is read twice (bound agg + semi join) — reuse
+        # via localCheckpoint, NOT cache() (CLAUDE.md: checkpoint blocks
+        # are reclaimed by the ContextCleaner; cache() entries leak)
+        summary = summary.localCheckpoint(eager=True)
+        bound = summary.agg(F.sum("_dec")).first()[0] or 0
+    cand = summary.select(col).distinct()
     exact = (
         df.join(F.broadcast(cand), col, "leftsemi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    return exact.orderBy(F.desc("count"), F.asc(col)).limit(k)
+    out = exact.orderBy(F.desc("count"), F.asc(col)).limit(k)
+    if with_guarantee:
+        out = out.withColumn("guarantee_bound", F.lit(bound).cast("long"))
+    return out
