@@ -1730,6 +1730,305 @@ FROM s GROUP BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# r5: driver gates for the r4 operator wave (sampling / interval / gaps /
+# heavy hitters / redaction / repetition) — every one oracle-backed via
+# the cross-engine md5_64 hash family or plain SQL algebra
+# --------------------------------------------------------------------------
+
+
+def q_deterministic_split(spark, sf_dir):
+    """Hash-deterministic train/val/test assignment (md5_64 family so
+    DuckDB replays the exact bucket arithmetic — CLAUDE.md names it the
+    only cross-engine hash)."""
+    from time2feat_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = deterministic_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id", seed=7, hash_family="md5",
+    )
+    return out.select("doc_id", "split")
+
+
+SQL_DETERMINISTIC_SPLIT = """
+WITH b AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))
+       AS BIGINT) % 1000000 AS bk
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic per-group reservoir: exactly min(25, group size)
+    docs per language, chosen by md5_64 hash order."""
+    from time2feat_spark.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_per_group(
+        d, ["lang"], 25, id_col="doc_id", seed=5, hash_family="md5"
+    )
+    return out.select("lang", "doc_id")
+
+
+SQL_SAMPLE_PER_GROUP = """
+WITH h AS (SELECT lang, doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|5'), 1, 15))
+       AS BIGINT) AS hv
+  FROM documents)
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h) WHERE rn <= 25
+"""
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Hash-deterministic 35% sample (kept rows stay kept as data
+    grows, unlike df.sample)."""
+    from time2feat_spark.operators.sampling import sample_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_fraction(
+        d, 0.35, id_col="doc_id", seed=3, hash_family="md5"
+    ).select("doc_id", "source")
+
+
+SQL_SAMPLE_FRACTION = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 15))
+           AS BIGINT) % 1000000 < 350000
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucketized range join (engine operator; naive Spark plans this as
+    a BroadcastNestedLoopJoin): every view event landing inside the 4h
+    window after a purchase by the same user."""
+    from time2feat_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end"),
+    )
+    out = interval_join(
+        views, iv, ev_ts="ts", iv_start="start", iv_end="end",
+        key_cols=["user_id"],
+    )
+    return out.select(
+        "event_id",
+        "iv_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+        _r4(F.col("value")).alias("v"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS iv_id, user_id, epoch_ms(ts) AS sms
+      FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, p.iv_id, v.user_id, v.tms,
+       round(round(v.value, 7), 4) AS v
+FROM v JOIN p ON v.user_id = p.user_id
+             AND v.tms >= p.sms AND v.tms < p.sms + 14400000
+"""
+
+
+def q_detect_gaps(spark, sf_dir):
+    """Heartbeat monitoring: per-user silences longer than 6 hours."""
+    from time2feat_spark.operators.asof import detect_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return detect_gaps(ev, ["user_id"], "ts", threshold_sec=6 * 3600)
+
+
+SQL_DETECT_GAPS = """
+WITH o AS (SELECT user_id, epoch_ms(ts) AS tms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS prev
+           FROM events)
+SELECT user_id, prev AS gap_start_ms, tms AS gap_end_ms,
+       tms - prev AS gap_ms
+FROM o WHERE prev IS NOT NULL AND tms - prev > 21600000
+"""
+
+
+def q_heavy_hitters_tokens(spark, sf_dir):
+    """Misra-Gries two-pass top-k over exploded document tokens: the
+    candidate summary + broadcast recount must equal the true top-30
+    (tie-break: count desc, token asc)."""
+    from time2feat_spark.operators.text import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", 30)
+
+
+SQL_HEAVY_HITTERS_TOKENS = r"""
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+           FROM documents)
+SELECT tok, count(*) AS count FROM t
+GROUP BY tok ORDER BY count DESC, tok LIMIT 30
+"""
+
+
+#: RE2-compatible subset of REDACTION_PATTERNS (the phone rule needs
+#: lookaround, which DuckDB's RE2 lacks — it stays pytest-covered)
+_REDACT_ORACLE_PATTERNS = [
+    ("<URL>", r"(?i)\bhttps?://[^\s<>\"]+|\bwww\.[^\s<>\"]+"),
+    ("<EMAIL>", r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"),
+    ("<IP>", r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+             r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"),
+]
+
+
+def _redact_aug(doc_id, text):
+    """Deterministic PII-bearing suffix (the synthetic corpus has none):
+    one email, one URL, one IP derived from doc_id."""
+    return F.concat(
+        text,
+        F.lit(" contact u"), doc_id.cast("string"),
+        F.lit("@ex.com via http://s"), doc_id.cast("string"),
+        F.lit(".org/x or 10.0.0."), (doc_id % 256).cast("string"),
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub with replacement-exact counts, over docs augmented with
+    a deterministic doc_id-derived email/URL/IP suffix so every row
+    exercises every pattern."""
+    from time2feat_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id", _redact_aug(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = redact_pii(aug, patterns=_REDACT_ORACLE_PATTERNS)
+    return out.select(
+        "doc_id", "text_redacted", "redact_url", "redact_email", "redact_ip"
+    )
+
+
+def _sql_redact_pii() -> str:
+    aug = ("text || ' contact u' || CAST(doc_id AS VARCHAR)"
+           " || '@ex.com via http://s' || CAST(doc_id AS VARCHAR)"
+           " || '.org/x or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)")
+    sql = f"WITH a AS (SELECT doc_id, {aug} AS text FROM documents)"
+    prev, cols = "text", []
+    for i, (ph, pat) in enumerate(_REDACT_ORACLE_PATTERNS, 1):
+        name = "redact_" + ph.strip("<>").lower()
+        carried = ", ".join(cols + [f"len(regexp_extract_all({prev}, '{pat}')) AS {name}"])
+        sql += (f",\nr{i} AS (SELECT doc_id, {carried},"
+                f" regexp_replace({prev}, '{pat}', '{ph}', 'g') AS t{i}"
+                f" FROM {'a' if i == 1 else f'r{i-1}'})")
+        prev, cols = f"t{i}", cols + [name]
+    return (sql + f"\nSELECT doc_id, {prev} AS text_redacted, "
+            + ", ".join(cols) + f" FROM r{len(_REDACT_ORACLE_PATTERNS)}")
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher repetition/structure signals over synthesized multi-line
+    docs (the corpus is single-line; the augmentation repeats the first
+    40 chars as a guaranteed duplicate line and adds bullet + ellipsis
+    lines, all deterministic from doc fields)."""
+    from time2feat_spark.operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 40), F.lit("\n"),
+            F.substring(t, 41, 60), F.lit("\n"),
+            F.substring(t, 1, 40), F.lit("\n- item "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\ntrailing thought..."),
+        ).alias("text"),
+    )
+    return repetition_features(aug).select(
+        "doc_id", "rep_dup_line_frac", "rep_dup_line_char_frac",
+        "rep_bullet_line_frac", "rep_ellipsis_line_frac",
+        "rep_top2gram_char_frac", "rep_top3gram_char_frac",
+        "rep_top4gram_char_frac",
+    )
+
+
+SQL_REPETITION_FEATURES = r"""
+WITH a AS (SELECT doc_id,
+  substr(text, 1, 40) || chr(10) || substr(text, 41, 60) || chr(10) ||
+  substr(text, 1, 40) || chr(10) || '- item ' ||
+  CAST(doc_id % 5 AS VARCHAR) || chr(10) || 'trailing thought...' AS text
+  FROM documents),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM a),
+nz AS (SELECT doc_id, line FROM l WHERE length(trim(line)) > 0),
+per AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        FROM nz GROUP BY ALL),
+ls AS (SELECT doc_id, sum(c) AS n_lines, sum(c * len) AS line_chars,
+              sum(c - 1) AS rep_lines, sum((c - 1) * len) AS rep_chars
+       FROM per GROUP BY doc_id),
+ss AS (SELECT doc_id,
+              count(*) FILTER (WHERE regexp_matches(trim(line), '^([-*•])'))
+                AS bullets,
+              count(*) FILTER (WHERE regexp_matches(trim(line), '(\.\.\.|…)$'))
+                AS ellipsis
+       FROM nz GROUP BY doc_id),
+words AS (SELECT doc_id, length(text) AS nc,
+                 regexp_extract_all(lower(text), '\S+') AS w FROM a),
+grams0 AS (SELECT doc_id, nc, w, n,
+                  unnest(range(1, len(w) - n + 2)) AS i
+           FROM words, (VALUES (2),(3),(4)) t(n)),
+grams AS (SELECT doc_id, nc, n, array_to_string(w[i:i+n-1], ' ') AS gram
+          FROM grams0),
+gcount AS (SELECT doc_id, nc, n, gram, count(*) AS c FROM grams GROUP BY ALL),
+gtop AS (SELECT doc_id, nc, n, c * length(gram) AS chars,
+                row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY c DESC, c * length(gram) DESC)
+                  AS rn
+         FROM gcount),
+tg AS (SELECT doc_id,
+              round(round(max(CASE WHEN n=2 THEN chars END) * 1.0
+                    / any_value(nc), 7), 4) AS rep_top2gram_char_frac,
+              round(round(max(CASE WHEN n=3 THEN chars END) * 1.0
+                    / any_value(nc), 7), 4) AS rep_top3gram_char_frac,
+              round(round(max(CASE WHEN n=4 THEN chars END) * 1.0
+                    / any_value(nc), 7), 4) AS rep_top4gram_char_frac
+       FROM gtop WHERE rn = 1 GROUP BY doc_id)
+SELECT a.doc_id,
+       round(round(ls.rep_lines * 1.0 / ls.n_lines, 7), 4)
+         AS rep_dup_line_frac,
+       round(round(ls.rep_chars * 1.0 / ls.line_chars, 7), 4)
+         AS rep_dup_line_char_frac,
+       round(round(ss.bullets * 1.0 / ls.n_lines, 7), 4)
+         AS rep_bullet_line_frac,
+       round(round(ss.ellipsis * 1.0 / ls.n_lines, 7), 4)
+         AS rep_ellipsis_line_frac,
+       tg.rep_top2gram_char_frac, tg.rep_top3gram_char_frac,
+       tg.rep_top4gram_char_frac
+FROM a LEFT JOIN ls USING (doc_id) LEFT JOIN ss USING (doc_id)
+LEFT JOIN tg USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1796,6 +2095,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
+        "deterministic_split": q_deterministic_split,
+        "sample_per_group": q_sample_per_group,
+        "sample_fraction": q_sample_fraction,
+        "interval_join": q_interval_join,
+        "detect_gaps": q_detect_gaps,
+        "heavy_hitters_tokens": q_heavy_hitters_tokens,
+        "redact_pii": q_redact_pii,
+        "repetition_features": q_repetition_features,
     }
 
 
@@ -1850,4 +2157,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "ladder_tier_counts": sql_ladder_tier_counts("sf0.01"),
         "ladder_decode_roundtrip": sql_ladder_decode_roundtrip("sf0.01"),
+        "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+        "sample_per_group": SQL_SAMPLE_PER_GROUP,
+        "sample_fraction": SQL_SAMPLE_FRACTION,
+        "interval_join": SQL_INTERVAL_JOIN,
+        "detect_gaps": SQL_DETECT_GAPS,
+        "heavy_hitters_tokens": SQL_HEAVY_HITTERS_TOKENS,
+        "redact_pii": _sql_redact_pii(),
+        "repetition_features": SQL_REPETITION_FEATURES,
     }
