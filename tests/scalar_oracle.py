@@ -48,7 +48,15 @@ def absolute_maximum(x):
 
 def variation_coefficient(x):
     m = np.mean(x)
-    return float(np.std(x) / m) if m != 0 else float(np.std(x) / m)
+    if m != 0:
+        return float(np.std(x) / m)
+    # mean == 0: the kernel's IEEE result, written explicitly instead of
+    # dividing by zero (which is what this branch used to do, emitting
+    # the suite's one RuntimeWarning): 0/0 -> NaN, std/±0 -> ±inf
+    s = float(np.std(x))
+    if s == 0.0:
+        return float("nan")
+    return float(np.copysign(np.inf, float(m)))
 
 
 def skewness(x):

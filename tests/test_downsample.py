@@ -222,3 +222,35 @@ def test_lttb_property():
         assert (np.diff(idx) > 0).all()
 
     check()
+
+
+def test_lttb_streamed_flush_across_arrow_batches(spark):
+    """r5 memory fix: series are flushed as the sorted key advances, so
+    a series spanning MANY Arrow batches (maxRecordsPerBatch=64 here)
+    still reproduces the numpy kernel exactly — and the worker never
+    buffers more than one series."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rng = np.random.default_rng(9)
+        rows, truth = [], {}
+        for key in ("k1", "k2"):
+            n = 700
+            ts = np.cumsum(rng.integers(1, 4, n)) * 1000
+            vals = np.round(np.cumsum(rng.standard_normal(n)), 3)
+            truth[key] = (ts, vals)
+            rows.append(pd.DataFrame(
+                {"key": key, "ts": pd.to_datetime(ts, unit="ms"),
+                 "value": vals}))
+        df = spark.createDataFrame(
+            pd.concat(rows, ignore_index=True)).coalesce(1)
+        out = (lttb(df, ["key"], "ts", "value", 120)
+               .toPandas().sort_values(["key", "ts_ms"]))
+        for key, (ts, vals) in truth.items():
+            idx = lttb_numpy(ts.astype(np.int64), vals, 120)
+            g = out[out.key == key]
+            assert (g.ts_ms.to_numpy() == ts[idx]).all()
+            assert (g.value.to_numpy() == vals[idx]).all()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -102,3 +102,34 @@ def test_pack_lengths_property():
         assert (bins == again).all()
 
     check()
+
+
+def test_pack_sequences_deterministic_under_any_layout(spark):
+    """deterministic=True: the same corpus packs into IDENTICAL bins
+    (same bin_id, same members) under 1 / 4 / 13 incoming partitions —
+    the hash-repartition + in-partition id sort removes every trace of
+    upstream layout."""
+    import numpy as np
+    import pandas as pd
+
+    from time2feat_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(3000)],
+            "n_tok": rng.integers(10, 2000, 3000),
+        }
+    )
+    results = []
+    for nparts in (1, 4, 13):
+        df = spark.createDataFrame(pdf).repartition(nparts)
+        out = (
+            pack_sequences(df, 2048, deterministic=True)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)

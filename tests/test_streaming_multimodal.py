@@ -255,17 +255,33 @@ def test_bmp_top_down_and_8bpp_and_rejects_compressed():
         rows[i * stride:(i + 1) * stride] for i in range(3, -1, -1)
     )
     assert (_decode_bmp_gray(neg) == g).all()
-    # 8-bpp grayscale
+    # 8-bpp with identity-grayscale palette: indices ARE the luma
     gray8 = np.arange(16, dtype=np.uint8).reshape(4, 4)
     rows8 = b"".join(gray8[i].tobytes() for i in range(3, -1, -1))
-    hdr8 = (
-        b"BM" + struct.pack("<IHHI", 54 + len(rows8), 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(rows8),
-                      2835, 2835, 0, 0)
-    )
-    assert (_decode_bmp_gray(hdr8 + rows8) == gray8).all()
+
+    def bmp8(palette: bytes) -> bytes:
+        off = 54 + len(palette)
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(rows8), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, len(rows8),
+                          2835, 2835, len(palette) // 4, 0)
+            + palette + rows8
+        )
+
+    ident = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    assert (_decode_bmp_gray(bmp8(ident)) == gray8).all()
+    # paletted COLOR 8-bpp: indices must map through the BGRA table's
+    # luma (the pre-r5 bug treated the index itself as luma)
+    color = bytearray(ident)
+    color[4 * 3:4 * 4] = bytes([0, 0, 255, 0])  # index 3 -> pure red (BGR)
+    g3 = _decode_bmp_gray(bmp8(bytes(color)))
+    assert g3[np.where(gray8 == 3)][0] == 255 * 299 // 1000  # PIL luma 76
+    assert (g3[np.where(gray8 != 3)] == gray8[np.where(gray8 != 3)]).all()
+    # 8-bpp WITHOUT a color table is malformed -> PIL plug point fires
+    with pytest.raises(NotImplementedError, match="color table"):
+        _decode_bmp_gray(bmp8(b""))
     # compressed (BI_RLE8) raises loudly
-    comp = bytearray(hdr8 + rows8)
+    comp = bytearray(bmp8(ident))
     struct.pack_into("<I", comp, 30, 1)
     with pytest.raises(NotImplementedError, match="codec"):
         _decode_bmp_gray(bytes(comp))

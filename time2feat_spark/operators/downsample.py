@@ -82,17 +82,44 @@ def lttb(
     )
 
     def run(batches):
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        for _, g in pdf.groupby(key_cols, sort=False):
+        # streamed buffered flush (same shape as rollup_points): rows
+        # arrive sorted by (key, ts), so only the CURRENT series is ever
+        # buffered — worker memory is O(largest single series + one
+        # Arrow batch), never O(partition raw points)
+        buf: list[pd.DataFrame] = []
+        cur = None
+
+        def flush():
+            g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             ts = g["_ts"].to_numpy()
             vals = g["_v"].to_numpy()
             idx = lttb_numpy(ts, vals, n_out)
             res = {c: g[c].to_numpy()[idx] for c in key_cols}
             res["ts_ms"] = ts[idx]
             res["value"] = vals[idx]
-            yield pd.DataFrame(res)
+            return pd.DataFrame(res)
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            # vectorized series boundaries within the batch (no per-row
+            # Python): a row starts a new slice when any key col changes
+            kcols = [pdf[c].to_numpy() for c in key_cols]
+            change = np.zeros(n, dtype=bool)
+            for arr in kcols:
+                change[1:] |= arr[1:] != arr[:-1]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(change), [n])
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                key = tuple(arr[s] for arr in kcols)
+                if cur is not None and key != cur:
+                    yield flush()
+                    buf = []
+                cur = key
+                buf.append(pdf.iloc[s:e])
+        if buf:
+            yield flush()
 
     return parted.mapInPandas(run, schema)

@@ -118,13 +118,18 @@ def _decode_bmp_gray(b: bytes) -> np.ndarray:
     float64 grayscale matrix using only stdlib struct + numpy — the
     image analogue of the PCM-WAV audio path: a real, testable decode
     with no external codec. Luma uses PIL's convert('L') integer
-    weights ((R*299 + G*587 + B*114) / 1000). Compressed BMPs and other
-    depths raise toward the PIL plug point."""
+    weights ((R*299 + G*587 + B*114) / 1000). 8-bpp pixels are INDICES
+    into the mandatory BGRA color table, so they are mapped through the
+    palette's per-entry luma (a paletted color BMP decodes to the same
+    grayscale PIL's convert('L') gives, not to its raw index values).
+    Compressed BMPs, other depths, and a missing/truncated palette
+    raise toward the PIL plug point."""
     import struct
 
     if b[:2] != b"BM":
         raise ValueError("not a BMP stream")
     (data_off,) = struct.unpack_from("<I", b, 10)
+    (dib_size,) = struct.unpack_from("<I", b, 14)
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
@@ -133,18 +138,53 @@ def _decode_bmp_gray(b: bytes) -> np.ndarray:
             f"BMP bpp={bpp} compression={compression} needs a real codec "
             "(PIL) — stdlib path covers uncompressed 8/24-bpp only"
         )
+    palette_luma = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", b, 46)
+        entries = clr_used or 256
+        pal_off = 14 + dib_size
+        # the color table sits between the DIB header and the pixel
+        # array; never read past data_off (hostile/truncated headers)
+        entries = min(entries, max((data_off - pal_off) // 4, 0))
+        if entries <= 0:
+            raise NotImplementedError(
+                "8-bpp BMP without a readable color table — PIL plug point"
+            )
+        palette_luma = _palette_luma(b, pal_off, entries)
     flip = height > 0  # positive height = bottom-up row order
     return _bgr_rows_to_gray(
-        b, width, abs(height), bpp, flip, offset=data_off
+        b, width, abs(height), bpp, flip, offset=data_off,
+        palette_luma=palette_luma,
     )
 
 
+def _palette_luma(buf: bytes, offset: int, entries: int) -> np.ndarray:
+    """256-slot luma lookup from a BGRA color table (entries beyond the
+    table keep identity so out-of-range indices degrade gracefully)."""
+    pal = np.frombuffer(
+        buf, dtype=np.uint8, count=entries * 4, offset=offset
+    ).reshape(entries, 4)
+    luma = np.arange(256, dtype=np.int64)
+    luma[:entries] = (
+        pal[:, 2].astype(np.int64) * 299
+        + pal[:, 1].astype(np.int64) * 587
+        + pal[:, 0].astype(np.int64) * 114
+    ) // 1000
+    return luma
+
+
 def _bgr_rows_to_gray(
-    buf: bytes, width: int, height: int, bpp: int, flip: bool, offset: int = 0
+    buf: bytes,
+    width: int,
+    height: int,
+    bpp: int,
+    flip: bool,
+    offset: int = 0,
+    palette_luma: np.ndarray | None = None,
 ) -> np.ndarray:
     """Shared DIB pixel-array decode (BMP bodies and uncompressed-AVI
     '00db' frames use the same layout): 4-byte-aligned rows, BGR for
-    24-bpp, single channel for 8-bpp, bottom-up when flip."""
+    24-bpp, palette-index lookup for 8-bpp, bottom-up when flip."""
     stride = ((bpp * width + 31) // 32) * 4
     rows = np.frombuffer(
         buf, dtype=np.uint8, count=stride * height, offset=offset
@@ -156,6 +196,8 @@ def _bgr_rows_to_gray(
             + px[:, :, 1].astype(np.int64) * 587
             + px[:, :, 0].astype(np.int64) * 114
         ) // 1000
+    elif palette_luma is not None:
+        gray = palette_luma[rows[:, :width]]
     else:
         gray = rows[:, :width].astype(np.int64)
     if flip:
@@ -190,6 +232,7 @@ def _decode_avi_frames(b: bytes):
     (riff_size,) = struct.unpack_from("<I", b, 4)
     width = height = bpp = None
     compression = None
+    palette_luma = None
     frames: list[tuple[int, int]] = []
     def scan_movi(start: int, end: int) -> None:
         # explicit iterator stack (document-order DFS): preserves frame
@@ -229,6 +272,24 @@ def _decode_avi_frames(b: bytes):
                             (compression,) = struct.unpack_from(
                                 "<I", b, d3 + 16
                             )
+                            if bpp == 8 and s3 >= 40:
+                                # 8-bpp frames index the strf's BGRA
+                                # color table (after the header); map
+                                # through it like the BMP path
+                                (bi_size,) = struct.unpack_from(
+                                    "<I", b, d3
+                                )
+                                (clr_used,) = struct.unpack_from(
+                                    "<I", b, d3 + 32
+                                )
+                                n = min(
+                                    clr_used or 256,
+                                    max((s3 - bi_size) // 4, 0),
+                                )
+                                if n > 0:
+                                    palette_luma = _palette_luma(
+                                        b, d3 + bi_size, n
+                                    )
         elif list_type == b"movi":
             scan_movi(data + 4, data + size)
     if width is None:
@@ -244,7 +305,9 @@ def _decode_avi_frames(b: bytes):
 
     def frame(i: int) -> np.ndarray:
         off, _size = frames[i]
-        return _bgr_rows_to_gray(b, width, h, bpp, flip, offset=off)
+        return _bgr_rows_to_gray(
+            b, width, h, bpp, flip, offset=off, palette_luma=palette_luma
+        )
 
     return len(frames), frame
 

@@ -73,11 +73,23 @@ def pack_sequences(
     max_len: int,
     id_col: str = "doc_id",
     len_col: str = "n_tok",
+    deterministic: bool = False,
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Assign every doc a packing bin: (id, length, bin_id, bin_fill).
     Bin ids are globally unique (partition-offset); `bin_fill` is the
     bin's total length, duplicated on each member row so a training
-    shard writer can filter under-filled bins without another join."""
+    shard writer can filter under-filled bins without another join.
+
+    Default mode packs whatever partition layout arrives (zero
+    shuffle), so bin assignment depends on upstream partitioning.
+    `deterministic=True` buys layout-independence for one shuffle: rows
+    are hash-repartitioned on `id_col` into exactly `num_partitions`
+    and sorted by id within each, so the same corpus packs into the
+    IDENTICAL bins no matter how it was partitioned upstream — the
+    engine's partition-invariance posture, opt-in because the shuffle
+    is pure overhead when reproducible bins aren't needed. (Keep
+    `num_partitions` fixed across runs; it is part of the layout.)"""
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -88,6 +100,9 @@ def pack_sequences(
         ]
     )
     sel = df.select(id_col, F.col(len_col).cast("long").alias(len_col))
+    if deterministic:
+        sel = sel.repartition(num_partitions, F.col(id_col)) \
+                 .sortWithinPartitions(id_col)
 
     def run(iterator):
         from pyspark import TaskContext

@@ -9,38 +9,38 @@ event-time watermark passes session_end + gap (event-time timeout).
 
 Batch parity: the same gap rule as operators/asof.py::sessionize — a
 closed session here equals one session group there (verified in
-tests/test_streaming_stateful.py against the batch operator). Exact
-parity under out-of-order arrival additionally requires a watermark
-delay >= the true disorder bound: an event older than the watermark is
-dropped by Spark before the state function sees it, and a gap-closed
-session cannot reopen. Events inside the watermark are handled exactly:
-ones within the gap of the open session merge (lowering
-session_start_ms when they predate it), and ones MORE than the gap
-before the open session's start form their own earlier session(s) —
-gap-split among themselves, bridged into the open session only when the
-run actually reaches within the gap — matching the batch rule instead
-of silently widening the open session past its gap bound. One residual
-divergence is inherent to append mode: a gap-closed early session is
-emitted immediately and is FINAL, so if a subsequent micro-batch (still
-inside the watermark) delivers an event that would bridge it to the
-open session, batch sessionize merges them but the stream has already
-split — emitted output cannot be retracted. Exactness therefore needs
-the disorder bound to hold WITHIN the early-event runs too, not just
-against the watermark.
+tests/test_streaming_stateful.py against the batch operator, including
+a 200-case random-arrival-order fuzz). Parity is EXACT for every event
+the watermark admits (r5 redesign): a session is emitted only once the
+event-time watermark passes its end + gap — until then it stays in the
+state store as a pending run, so an out-of-order event arriving in a
+later micro-batch still merges/bridges pending runs exactly like the
+batch rule (append-mode emissions never need retraction because nothing
+is emitted while the watermark still allows a merge). The only
+divergence from batch output is the inherent watermark contract: an
+event older than the watermark is dropped by Spark before the state
+function sees it. (The pre-r5 design emitted gap-closed sessions
+immediately, which was final and could split sessions that bounded
+disorder would later have bridged.)
 
-Scale posture: state is one tiny tuple per ACTIVE key (not per event);
-the shuffle is the standard streaming groupBy(key) exchange; Arrow
-batches stream through the Python worker without materializing a
-partition.
+Scale posture: state per key is the list of UNCONFIRMED session runs —
+bounded by the watermark horizon (every run older than watermark - gap
+is flushed on the next invocation), not by event count; the shuffle is
+the standard streaming groupBy(key) exchange; Arrow batches stream
+through the Python worker without materializing a partition, and new
+events are run-compressed vectorized (numpy reduceat) before the
+per-run merge sweep.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -59,14 +59,97 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+#: pending (watermark-unconfirmed) session runs, parallel arrays
 STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
-        StructField("n", LongType()),
-        StructField("s", DoubleType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("sums", ArrayType(DoubleType())),
     ]
 )
+
+
+def _make_sessionize_fn(ts_col: str, val_col: str, gap_ms: int):
+    """The applyInPandasWithState transition function, exposed as a
+    factory so the order-fuzzing parity test can drive it through a
+    simulated micro-batch/watermark harness without a streaming query
+    per case (tests/test_streaming_stateful.py)."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        # watermark-confirmed emission: every pending run lives in state
+        # until wm passes its end + gap; until then ANY admitted event
+        # can still merge into it, so nothing emitted ever needs
+        # retraction and parity with the batch gap rule is exact
+        wm = state.getCurrentWatermarkMs()
+        pending = list(zip(*state.get)) if state.exists else []
+
+        rows = []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if len(pdf):
+                    rows.append(pdf[[ts_col, val_col]])
+        if rows:
+            ev = pd.concat(rows, ignore_index=True).sort_values(ts_col)
+            ts_ms = (
+                ev[ts_col].astype("datetime64[ms]").astype("int64").to_numpy()
+            )
+            vals = ev[val_col].to_numpy(dtype=np.float64)
+            # vectorized run-compression of the new events (no per-event
+            # Python): split where the sorted gap exceeds gap_ms, then
+            # per-run aggregates via reduceat
+            cut = np.flatnonzero(np.diff(ts_ms) > gap_ms) + 1
+            lo = np.concatenate(([0], cut))
+            hi = np.concatenate((cut, [len(ts_ms)]))
+            sums = np.add.reduceat(vals, lo)
+            pending.extend(
+                (int(ts_ms[a]), int(ts_ms[b - 1]), int(b - a), float(sv))
+                for a, b, sv in zip(lo, hi, sums)
+            )
+        if not pending:
+            if state.exists:
+                state.remove()
+            return
+
+        # merge sweep over runs sorted by start (runs, not events): two
+        # adjacent runs belong to one session iff start - prev_end <= gap
+        pending.sort()
+        merged = [pending[0]]
+        for st, en, n, s in pending[1:]:
+            pst, pen, pn, ps = merged[-1]
+            if st - pen <= gap_ms:
+                merged[-1] = (pst, max(pen, en), pn + n, ps + s)
+            else:
+                merged.append((st, en, n, s))
+
+        label = "timeout" if state.hasTimedOut else "gap"
+        out = [m for m in merged if m[1] + gap_ms < wm]
+        keep = [m for m in merged if m[1] + gap_ms >= wm]
+        if keep:
+            state.update(tuple([list(c) for c in zip(*keep)]))
+            # must be strictly above the current watermark or Spark
+            # rejects it; the earliest pending confirmation otherwise
+            state.setTimeoutTimestamp(
+                max(wm + 1, min(m[1] + gap_ms for m in keep))
+            )
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "session_start_ms": st,
+                        "session_end_ms": en,
+                        "n_events": n,
+                        "sum_v": s,
+                        "closed_by": label,
+                    }
+                    for st, en, n, s in out
+                ]
+            )
+
+    return fn
 
 
 def streaming_sessionize(
@@ -80,92 +163,7 @@ def streaming_sessionize(
     """Gap-based sessions over a stream; emits one row per CLOSED
     session (append mode). The open session per key persists in the
     state store with an event-time timeout at end + gap."""
-    gap_ms = gap_seconds * 1000
-
-    def fn(key, pdf_iter, state: GroupState):
-        if state.hasTimedOut:
-            start, end, n, s = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "key": key[0],
-                        "session_start_ms": start,
-                        "session_end_ms": end,
-                        "n_events": n,
-                        "sum_v": s,
-                        "closed_by": "timeout",
-                    }
-                ]
-            )
-            return
-
-        rows = []
-        for pdf in pdf_iter:
-            if len(pdf):
-                rows.append(pdf[[ts_col, val_col]])
-        if not rows:
-            return
-        ev = pd.concat(rows, ignore_index=True).sort_values(ts_col)
-        ts_ms = (
-            ev[ts_col].astype("datetime64[ms]").astype("int64").to_numpy()
-        )
-        vals = ev[val_col].to_numpy()
-
-        if state.exists:
-            start, end, n, s = state.get
-        else:
-            start, end, n, s = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
-        closed = []
-
-        # Out-of-order events (inside the watermark) that predate the
-        # open session's start must NOT be blindly min()-merged: an event
-        # with t + gap < start belongs to an EARLIER session under the
-        # batch gap rule. Build the early sessions first (gap-splitting
-        # among themselves), then merge the stored open session with the
-        # last early session only if they are within the gap — exact
-        # batch parity for everything the watermark lets through.
-        k = 0
-        if n > 0:
-            e_start = e_end = None
-            e_n, e_s = 0, 0.0
-            while k < len(ts_ms) and int(ts_ms[k]) < start:
-                t = int(ts_ms[k])
-                if e_n > 0 and t - e_end > gap_ms:
-                    closed.append((key[0], e_start, e_end, e_n, e_s, "gap"))
-                    e_n, e_s = 0, 0.0
-                e_start = t if e_n == 0 else e_start
-                e_end = t
-                e_n += 1
-                e_s += float(vals[k])
-                k += 1
-            if e_n > 0:
-                if start - e_end <= gap_ms:
-                    # bridge: the early run reaches the open session
-                    start, n, s = e_start, n + e_n, s + e_s
-                else:
-                    closed.append((key[0], e_start, e_end, e_n, e_s, "gap"))
-
-        for t, v in zip(ts_ms[k:], vals[k:]):
-            t = int(t)
-            if n > 0 and t - end > gap_ms:
-                closed.append((key[0], start, end, n, s, "gap"))
-                n, s = 0, 0.0
-            start = t if n == 0 else start
-            end = max(end, t)
-            n += 1
-            s += float(v)
-        state.update((start, end, n, s))
-        state.setTimeoutTimestamp(end + gap_ms)
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "key", "session_start_ms", "session_end_ms",
-                    "n_events", "sum_v", "closed_by",
-                ],
-            )
-
+    fn = _make_sessionize_fn(ts_col, val_col, gap_seconds * 1000)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(key_col)
