@@ -159,6 +159,44 @@ def run_default() -> dict:
     timed("minhash_near_dups", E.q_minhash_near_dups)
     timed("text_quality", E.q_text_quality)
     timed("embedding_topk", E.q_embedding_topk)
+
+    # r4/r5 operator wave (driver-gated since r5) tracked round-over-round
+    timed("heavy_hitters_tokens", E.q_heavy_hitters_tokens)
+    timed("repetition_features", E.q_repetition_features)
+    timed("interval_join", E.q_interval_join)
+    timed("detect_gaps", E.q_detect_gaps)
+    timed("redact_pii", E.q_redact_pii)
+    timed("deterministic_split", E.q_deterministic_split)
+
+    # engine-level shapes with no driver query: sequence packing over the
+    # bench token table's lengths, and a routed continuous-aggregate read
+    # (one-day range at 6h resolution answered from the 1h tier)
+    from pyspark.sql import functions as F
+    from time2feat_spark.operators.packing import pack_sequences
+    from time2feat_spark.plans.ladder_job import LadderJob
+    from time2feat_spark.plans.router import aggregate_range
+
+    timed(
+        "pack_sequences",
+        lambda s, _: pack_sequences(
+            s.read.parquet(seq_path).select("doc_id", "n_tok"), 4096
+        ),
+    )
+    base = "/dev/shm/t2f_bench" if os.path.isdir("/dev/shm") else f"{REPO}/.cache"
+    job = LadderJob(spark, seq_path, f"{base}/bench_ladder")
+    job.run()  # build cost excluded: the read path is what's measured
+    t_lo = (
+        job.read_output()
+        .where("tier = '1d'")
+        .agg(F.min(F.unix_millis("window_start")))
+        .first()[0]
+    )
+    start = (t_lo // 86_400_000) * 86_400_000
+    end = start + 86_400_000
+    timed(
+        "routed_aggregate_6h",
+        lambda s, _: aggregate_range(job, start, end, 6 * 3600)[1],
+    )
     total = sum(queries.values())
 
     pps = ladder["rolled_points"] / ladder["sec"] if ladder["sec"] else 0

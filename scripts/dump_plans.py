@@ -103,6 +103,32 @@ def main() -> None:
          "projection, so a pair colliding in m bands pays the verify "
          "once; banded rows are localCheckpoint-ed (auto-reclaimed).",
          fmt(spark, E.q_embedding_near_dups(spark, SF))),
+        ("Bucketized interval join (`interval_join`)",
+         "Range join WITHOUT the BroadcastNestedLoopJoin cliff (r5 "
+         "driver-gated): intervals explode to their covered coarse "
+         "buckets, events join their single bucket — look for a hash "
+         "join on (user_id, _bucket) and NO NestedLoop operator; the "
+         "exact range predicate filters inside the bucket.",
+         fmt(spark, E.q_interval_join(spark, SF))),
+        ("Misra-Gries heavy hitters (`heavy_hitters_tokens`)",
+         "Two-pass top-k (r5 driver-gated): pass 1 is a MapInPandas "
+         "candidate summary per partition (bounded O(c) state, no "
+         "shuffle), pass 2 recounts ONLY the candidates via "
+         "BroadcastHashJoin LeftSemi — the full token key space is "
+         "never shuffled.",
+         fmt(spark, E.q_heavy_hitters_tokens(spark, SF))),
+        ("Deterministic split (`deterministic_split`)",
+         "Hash-bucketed train/val/test assignment (r5 driver-gated, "
+         "md5_64 family): a pure projection over the scan — zero "
+         "exchanges, trivially scale-free.",
+         fmt(spark, E.q_deterministic_split(spark, SF))),
+        ("Repetition features (`repetition_features`)",
+         "Gopher signals (r5 driver-gated): line stats are pure array "
+         "expressions in the scan's projection (duplicate lines via "
+         "array_sort, O(L log L) per doc — linearized in r5); the "
+         "n-gram coverage is explode -> two-level HashAggregate keyed "
+         "on (doc, n, gram) with map-side partials.",
+         fmt(spark, E.q_repetition_features(spark, SF))),
     ]
     out = [
         "# PLANS — physical plans of the headline queries (generated)",
