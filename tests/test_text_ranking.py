@@ -1,0 +1,195 @@
+"""TF-IDF top terms, BM25 retrieval, benchmark decontamination, and the
+deterministic HyperLogLog — hand-computed truths plus cross-engine
+(DuckDB) and merge/accuracy properties."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "quantum entanglement defies classical intuition"),
+    (4, "the cat chased the dog around the log"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _tfidf_truth(k=3):
+    """Plain-python smoothed TF-IDF over DOCS."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(DOCS)
+    dfreq: dict[str, int] = {}
+    for ws in toks.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        scores = {}
+        for w in set(ws):
+            tf = ws.count(w)
+            idf = math.log((n + 1) / (dfreq[w] + 1)) + 1
+            scores[w] = round(round(tf * idf, 7), 4)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[d] = ranked
+    return out
+
+
+def test_tfidf_matches_hand_computation(spark, docs):
+    from time2feat_spark.operators.text import tfidf_top_terms
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=3).collect()
+    }
+    truth = _tfidf_truth(3)
+    for d, ranked in truth.items():
+        for i, (term, score) in enumerate(ranked, 1):
+            assert got[(d, i)][0] == term, (d, i, got[(d, i)], ranked)
+            assert got[(d, i)][1] == pytest.approx(score, abs=1e-9)
+    # empty doc contributes no rows
+    assert not [k for k in got if k[0] == 5]
+
+
+def test_bm25_ranks_exact_topic_doc_first(spark, docs):
+    from time2feat_spark.operators.text import bm25_search
+
+    rows = bm25_search(docs, ["quantum", "entanglement"], k=3).collect()
+    assert rows[0]["doc_id"] == 3
+    assert rows[0]["n_terms_hit"] == 2
+    assert len(rows) == 1  # no other doc contains either term
+
+    rows = bm25_search(docs, ["cat", "log"], k=5).collect()
+    got = [r["doc_id"] for r in rows]
+    # doc 4 holds both terms -> must outrank single-term docs
+    assert got[0] == 4
+    assert set(got) == {1, 2, 4}
+    # scores strictly ordered, ties by doc_id
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_score_matches_formula(spark, docs):
+    from time2feat_spark.operators.text import bm25_search
+
+    rows = {r["doc_id"]: r["score"] for r in
+            bm25_search(docs, ["cat"], k=5, k1=1.2, b=0.75).collect()}
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df_t = sum("cat" in w for w in toks.values())
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+    for d in (1, 4):
+        tf = toks[d].count("cat")
+        dl = len(toks[d])
+        s = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        micro = math.floor(abs(s) * 1e6 + 0.5) * (1 if s >= 0 else -1)
+        assert rows[d] == pytest.approx(round(round(micro / 1e6, 7), 4), abs=1e-9)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from time2feat_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # fully inside eval
+            (2, "alpha beta gamma zeta eta theta"),  # partial overlap
+            (3, "completely different words here now"),
+            (4, "xy"),                               # < n words -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon and more")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(corpus, eval_df, n=3, threshold=0.5).collect()}
+    assert out[1]["decon_ngrams"] == 3 and out[1]["decon_hits"] == 3
+    assert out[1]["decon_frac"] == 1.0 and out[1]["decon_flag"]
+    # doc 2: grams = {abg, bgz, gze, zet} -> 1 of 4 hit
+    assert out[2]["decon_ngrams"] == 4 and out[2]["decon_hits"] == 1
+    assert out[2]["decon_frac"] == 0.25 and not out[2]["decon_flag"]
+    assert out[3]["decon_hits"] == 0 and not out[3]["decon_flag"]
+    assert out[4]["decon_ngrams"] == 0 and out[4]["decon_frac"] is None
+    assert out[4]["decon_flag"] is False
+
+
+def test_hll_merge_equals_single_pass_and_accuracy(spark):
+    from time2feat_spark.operators.approx import (
+        hll_distinct, hll_estimate, hll_merge, hll_partial,
+    )
+
+    n = 20_000
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 5_000, n)  # ~5k distinct
+    df = spark.createDataFrame(
+        [(int(v), "g") for v in vals], ["v", "grp"]
+    ).repartition(7)
+
+    one = hll_distinct(df, ["grp"], "v").collect()[0]["hll_estimate"]
+    # merge of disjoint halves == single pass (register max associativity)
+    h1 = hll_partial(df.where(F.col("v") < 2500), ["grp"], "v")
+    h2 = hll_partial(df.where(F.col("v") >= 2500), ["grp"], "v")
+    merged = hll_estimate(hll_merge(h1, h2), ["grp"]).collect()[0]["hll_estimate"]
+    assert merged == one
+
+    true = len(set(int(v) for v in vals))
+    assert abs(one - true) / true < 3 * 1.04 / math.sqrt(64)
+
+
+def test_hll_matches_duckdb_replay(spark):
+    import duckdb
+
+    from time2feat_spark.operators.approx import hll_distinct, sql_hll_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    for et, est in con.sql(
+        sql_hll_distinct("events", ["event_type"], "user_id")
+    ).fetchall():
+        assert got[et] == est, et
+
+
+def test_semantic_dedup_within_cluster(spark):
+    from time2feat_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(4):
+            v = base[c] + rng.normal(scale=0.01, size=16)  # tight clones
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semantic_dedup(df, base, min_cosine=0.95).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # each clone group: lowest id kept, other three flagged
+    for c in range(3):
+        ids = [c * 4 + i for i in range(4)]
+        flags = [by_id[i]["is_dup"] for i in ids]
+        assert flags == [False, True, True, True], (c, flags)
+        assert len({by_id[i]["cell"] for i in ids}) == 1

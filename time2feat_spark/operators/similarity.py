@@ -423,3 +423,65 @@ def ivf_topk_at_rest(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then deduplicate ONLY within clusters — a vector is
+    a semantic duplicate if some lower-id vector in its cluster has
+    cosine similarity >= `min_cosine` (keep-lowest-id is the paper's
+    "keep one representative per epsilon-ball" rule made deterministic).
+
+    Returns (id, cell, is_dup); filter `~is_dup` for the kept corpus.
+
+    Scale shape: cell assignment is one scan-side Arrow matmul (no
+    shuffle); the candidate pair set is the within-cell self-join — the
+    whole point of the cluster pre-pass is that this bounds pair
+    generation at sum(|cell|^2) instead of N^2, and the cell count is
+    chosen so cells fit comfortably in a task (the paper uses 50k
+    clusters at web scale). Cross-cell near-dups are deliberately missed
+    — that is SemDeDup's documented approximation. The assigned table is
+    localCheckpoint'ed (NOT cache()) because it feeds both sides of the
+    self-join and the final left join (CLAUDE.md invariant: checkpoint
+    blocks are reclaimed by the ContextCleaner; cache() leaks).
+
+    Cross-engine determinism: the dup predicate compares the cosine
+    ROUNDED 9->6 (the repo's round_bin double-rounding), so a SQL oracle
+    assigning cells against the same centroid literals reproduces
+    is_dup exactly."""
+    assign1 = _cell_assign_udf(centroids, 1)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    ).localCheckpoint(eager=True)
+    left = assigned.select(
+        F.col(id_col).alias("_lid"), F.col("_v").alias("_lv"), "cell"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_rid"), F.col("_v").alias("_rv"), "cell"
+    )
+    sim = round2(cosine(F.col("_lv"), F.col("_rv")).cast("double"), 9, 6)
+    dups = (
+        left.join(right, "cell")
+        .where(F.col("_lid") < F.col("_rid"))
+        .where(sim >= F.lit(min_cosine))
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+    )

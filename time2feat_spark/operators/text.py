@@ -458,3 +458,185 @@ def heavy_hitters(
     if with_guarantee:
         out = out.withColumn("guarantee_bound", F.lit(bound).cast("long"))
     return out
+
+
+# --------------------------------------------------------------------------
+# term weighting / retrieval / decontamination (r5)
+# --------------------------------------------------------------------------
+
+
+def _words(t: Column) -> Column:
+    """Lowercased whitespace tokens as an array (empty strings dropped)."""
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def word_ngrams(t: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of `t` (empty when the doc has
+    fewer than n words). Index sequence is guarded with F.when — Spark's
+    F.sequence(1, 0) yields the DESCENDING [1, 0], not empty."""
+    words = _words(t)
+    gi = F.when(
+        F.size(words) - (n - 1) >= 1,
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        gi, lambda i: F.concat_ws(" ", F.slice(words, i.cast("int"), n))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's smooth_idf convention: idf = ln((N+1)/(df+1)) + 1).
+
+    Returns (id, term, tf, df_t, tfidf, rank) with rank 1..k per doc,
+    tie-broken (tfidf desc, term asc) on the ROUNDED score so both
+    engines order identically.
+
+    Scale shape: explode -> map-side-combined groupBy (doc, term) for tf;
+    term-keyed groupBy for document frequency; the (N)-row corpus-size agg
+    is broadcast. The tf<->df join shuffles on term — the unavoidable
+    vocabulary-keyed exchange — and everything stays whole-stage codegen
+    (no Python). Survives 100 TB: state per key is O(1), no per-doc
+    vocabulary is ever collected."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    idf = F.log((F.col("_n") + 1) / (F.col("df_t") + 1)) + 1
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", round2(F.col("tf") * idf, 7, 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_t", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a bag-of-words query
+    (Robertson & Zaragoza 2009 formulation):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+
+    Cross-engine determinism: each per-term score is snapped to an exact
+    integer micro-score floor(s*1e6 + 0.5) BEFORE the per-doc sum, so the
+    summation is integer arithmetic (order-independent — a float sum's
+    value depends on reduction order, which Spark does not fix); the
+    reported `score` re-scales and rounds to 4 decimals and is the sort
+    key, doc id breaking ties.
+
+    Scale shape: term filter is pushed into the explode scan (only query
+    terms survive — the candidate set, not the corpus vocabulary, is
+    shuffled); corpus stats (N, avgdl) are one broadcast agg row; final
+    top-k is TakeOrdered (no global sort materialization)."""
+    terms = [t.lower() for t in query_terms]
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    ).where(F.col("term").isin(terms))
+    tf = base.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.select(
+        F.count_distinct(F.col(id_col)).alias("_n"),
+        F.avg(F.size(_words(F.col(text_col)))).alias("_avgdl"),
+    )
+    idf = F.log((F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1)
+    s = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
+    )
+    micro = (F.floor(F.abs(s * 1e6) + F.lit(0.5)) * F.signum(s)).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_ms", micro)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_ms").alias("_msum"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            F.col(id_col),
+            round2(F.col("_msum") / 1e6, 7, 4).alias("score"),
+            "n_terms_hit",
+        )
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose word n-grams
+    overlap an evaluation set (the GPT-3 appendix-C / PaLM n-gram
+    collision rule — training docs sharing enough n-grams with a test
+    benchmark must be dropped before training).
+
+    Per corpus doc over its DISTINCT word n-grams:
+      decon_ngrams — how many; decon_hits — how many also occur anywhere
+      in the eval set; decon_frac = hits/ngrams (NULL when the doc has
+      fewer than n words); decon_flag = frac >= threshold.
+
+    Scale shape: the eval n-gram set (benchmarks are ~MBs vs a 100 TB
+    corpus) is collapsed to DISTINCT and broadcast — the corpus side
+    streams through a broadcast left-join with NO corpus shuffle on the
+    gram key; the only corpus exchange is the per-doc (id, gram)
+    de-duplicating aggregate, keyed on the doc id. Docs with zero
+    n-grams are preserved via the final left join."""
+    grams = word_ngrams(F.col(text_col), n)
+    eval_set = (
+        eval_df.select(F.explode(grams).alias("gram")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = (
+        corpus.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    agg = (
+        doc_grams.join(F.broadcast(eval_set), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("decon_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("decon_hits"),
+        )
+    )
+    frac = round2(F.try_divide(F.col("decon_hits"), F.col("decon_ngrams")), 7, 4)
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("decon_ngrams", F.lit(0)).alias("decon_ngrams"),
+            F.coalesce("decon_hits", F.lit(0)).alias("decon_hits"),
+            frac.alias("decon_frac"),
+            F.coalesce(frac >= threshold, F.lit(False)).alias("decon_flag"),
+        )
+    )
