@@ -2028,6 +2028,180 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_hll_distinct_users(spark, sf_dir):
+    """Deterministic mergeable HyperLogLog (md5_64 hash family, m=64
+    registers) next to the exact distinct — the estimate itself is
+    value-exact across engines because every step is integer/dyadic
+    except the final ln, which gets round_bin double-rounding."""
+    from time2feat_spark.operators.approx import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_distinct", "hll_estimate"
+    )
+
+
+def _sql_hll_distinct_users() -> str:
+    from time2feat_spark.operators.approx import sql_hll_distinct
+
+    return f"""
+WITH est AS ({sql_hll_distinct("events", ["event_type"], "user_id")}),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT event_type, exact_distinct, hll_estimate
+FROM est JOIN ex USING (event_type)
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (ranked on the rounded score so both engines order identically)."""
+    from time2feat_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+sc AS (SELECT doc_id, term, tf, df_t,
+              round(round(tf * (ln((n + 1.0) / (df_t + 1.0)) + 1), 7), 4)
+                AS tfidf
+       FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+SELECT doc_id, term, tf, df_t, tfidf, rank FROM (
+  SELECT doc_id, term, tf, df_t, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM sc) WHERE rank <= 5
+"""
+
+_BM25_TERMS = ["vector", "hash", "stream"]
+
+
+def q_bm25_dbterms(spark, sf_dir):
+    """Okapi BM25 top-20 docs for a 3-term keyword query; per-term
+    scores snapped to integer micro-scores before the per-doc sum so the
+    float reduction order cannot differ between engines."""
+    from time2feat_spark.operators.text import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+def _sql_bm25_dbterms() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\S+')) AS dl,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms}) GROUP BY ALL),
+dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+st AS (SELECT count(DISTINCT doc_id) AS n,
+              avg(len(regexp_extract_all(lower(text), '\S+'))) AS avgdl
+       FROM documents),
+per AS (SELECT doc_id,
+               CAST(floor(abs(
+                 (ln((n - df_t + 0.5) / (df_t + 0.5) + 1)
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 1e6
+               ) + 0.5) AS BIGINT) AS ms
+        FROM tf JOIN dfq USING (term) CROSS JOIN st),
+agg AS (SELECT doc_id, sum(ms) AS msum, count(*) AS n_terms_hit
+        FROM per GROUP BY doc_id)
+SELECT doc_id, round(round(CAST(msum AS BIGINT) / 1e6, 7), 4) AS score,
+       n_terms_hit
+FROM agg ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 'eval set' is the deterministic
+    md5 bucket-0 tenth of the corpus (sharing its vocabulary, so real
+    3-gram collisions exist); every remaining doc reports its eval
+    n-gram overlap fraction and a >= 0.5 contamination flag."""
+    from time2feat_spark.functions.hashing import md5_64
+    from time2feat_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    b = md5_64(F.concat(F.col("doc_id").cast("string"), F.lit("|e"))) % 10
+    return decontaminate(
+        d.where(b != 0), d.where(b == 0), n=3, threshold=0.5
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH b AS (SELECT doc_id, text,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|e'), 1, 15))
+       AS BIGINT) % 10 AS bk
+  FROM documents),
+words AS (SELECT doc_id, bk,
+                 regexp_extract_all(lower(text), '\S+') AS w FROM b),
+g0 AS (SELECT doc_id, bk, w,
+              unnest(range(1, len(w) - 1)) AS i FROM words),
+grams AS (SELECT doc_id, bk,
+                 array_to_string(w[i:i+2], ' ') AS gram FROM g0),
+ev AS (SELECT DISTINCT gram FROM grams WHERE bk = 0),
+dg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE bk != 0),
+agg AS (SELECT dg.doc_id, count(*) AS decon_ngrams,
+               CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS decon_hits
+        FROM dg LEFT JOIN ev USING (gram) GROUP BY dg.doc_id)
+SELECT b.doc_id,
+       coalesce(decon_ngrams, 0) AS decon_ngrams,
+       coalesce(decon_hits, 0) AS decon_hits,
+       round(round(decon_hits * 1.0 / decon_ngrams, 7), 4) AS decon_frac,
+       coalesce(round(round(decon_hits * 1.0 / decon_ngrams, 7), 4) >= 0.5,
+                FALSE) AS decon_flag
+FROM b LEFT JOIN agg USING (doc_id) WHERE b.bk != 0
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: within-cell (same 16-cell
+    quantizer as the IVF queries) cosine >= 0.4 against any lower id
+    marks a vector as a semantic duplicate. Value-exact oracle via the
+    shared centroid literals + rounded-cosine predicate."""
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup(emb, _ivf_cents(sf_dir), min_cosine=0.4)
+
+
+def _sql_semantic_dedup(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import numpy as np
+
+    cents = _ivf_cents(sf_dir)
+    c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = ",\n".join(
+        f"({i},[{','.join(repr(float(v)) for v in c[i])}]::DOUBLE[])"
+        for i in range(len(c))
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+ce AS (SELECT vec_id, ev, cell FROM (
+         SELECT e.vec_id, e.ev, c.cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.ev, c.cv) DESC, c.cell) AS rn
+         FROM e CROSS JOIN cents c) WHERE rn = 1),
+dups AS (SELECT DISTINCT r.vec_id FROM ce l JOIN ce r USING (cell)
+         WHERE l.vec_id < r.vec_id
+           AND round(round(list_dot_product(l.ev, r.ev)
+                 / (sqrt(list_dot_product(l.ev, l.ev))
+                    * sqrt(list_dot_product(r.ev, r.ev))), 9), 6) >= 0.4)
+SELECT ce.vec_id, CAST(ce.cell AS BIGINT) AS cell,
+       (dups.vec_id IS NOT NULL) AS is_dup
+FROM ce LEFT JOIN dups USING (vec_id)
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -2103,6 +2277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_tokens": q_heavy_hitters_tokens,
         "redact_pii": q_redact_pii,
         "repetition_features": q_repetition_features,
+        "hll_distinct_users": q_hll_distinct_users,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_dbterms": q_bm25_dbterms,
+        "decontaminate": q_decontaminate,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2165,4 +2344,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_tokens": SQL_HEAVY_HITTERS_TOKENS,
         "redact_pii": _sql_redact_pii(),
         "repetition_features": SQL_REPETITION_FEATURES,
+        "hll_distinct_users": _sql_hll_distinct_users(),
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "bm25_dbterms": _sql_bm25_dbterms(),
+        "decontaminate": SQL_DECONTAMINATE,
+        "semantic_dedup": _sql_semantic_dedup(),
     }

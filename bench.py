@@ -168,6 +168,14 @@ def run_default() -> dict:
     timed("redact_pii", E.q_redact_pii)
     timed("deterministic_split", E.q_deterministic_split)
 
+    # r5 wave: term weighting / retrieval / decontamination / sketch /
+    # semantic dedup
+    timed("tfidf_top_terms", E.q_tfidf_top_terms)
+    timed("bm25_dbterms", E.q_bm25_dbterms)
+    timed("decontaminate", E.q_decontaminate)
+    timed("hll_distinct_users", E.q_hll_distinct_users)
+    timed("semantic_dedup", E.q_semantic_dedup)
+
     # engine-level shapes with no driver query: sequence packing over the
     # bench token table's lengths, and a routed continuous-aggregate read
     # (one-day range at 6h resolution answered from the 1h tier)

@@ -129,6 +129,30 @@ def main() -> None:
          "n-gram coverage is explode -> two-level HashAggregate keyed "
          "on (doc, n, gram) with map-side partials.",
          fmt(spark, E.q_repetition_features(spark, SF))),
+        ("Benchmark decontamination (`decontaminate`)",
+         "Eval-set n-gram flagging (r5): the eval gram set is DISTINCT-"
+         "collapsed and BROADCAST — look for BroadcastHashJoin LeftOuter "
+         "on the gram key; the corpus is never exchanged on grams, its "
+         "only shuffle is the per-doc de-dup aggregate keyed on doc_id.",
+         fmt(spark, E.q_decontaminate(spark, SF))),
+        ("HyperLogLog distinct (`hll_distinct_users`)",
+         "Mergeable sketch shape (r5): partial HashAggregate to (key, "
+         "bucket) registers — <= 64 rows per key survive the exchange "
+         "regardless of input size — then a 64-row final agg; the exact "
+         "count_distinct rides the same scan for comparison.",
+         fmt(spark, E.q_hll_distinct_users(spark, SF))),
+        ("BM25 retrieval (`bm25_dbterms`)",
+         "Query-term filter lives INSIDE the explode projection (only "
+         "candidate postings are aggregated); (N, avgdl) corpus stats "
+         "and the per-term df are broadcast; final top-k is "
+         "TakeOrderedAndProject, no global sort.",
+         fmt(spark, E.q_bm25_dbterms(spark, SF))),
+        ("SemDeDup (`semantic_dedup`)",
+         "Within-cell self-join (r5): cell assignment is a scan-side "
+         "Arrow matmul (ArrowEvalPython below the scan, no shuffle); "
+         "the pair join exchanges on `cell` only, bounding candidates "
+         "at sum(cell^2) — the SemDeDup argument.",
+         fmt(spark, E.q_semantic_dedup(spark, SF))),
     ]
     out = [
         "# PLANS — physical plans of the headline queries (generated)",
