@@ -2028,6 +2028,95 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+_T0_MS = 1704067200000  # generator epoch: every sequence starts 2024-01-01
+
+
+def _ladder_job(spark, sf_dir, _cache: dict = {}):
+    """Materialized tier-ladder tables over the canonical sequences
+    parquet, built once per sf under the repo cache (manifest-resumable:
+    done units are skipped on re-invocation) — the at-rest input for the
+    routed-read queries."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base in _cache:
+        return _cache[base]
+    from time2feat_spark.plans.ladder_job import LadderJob
+
+    job = LadderJob(spark, _ensure_sequences(base), f"{SEQ_CACHE}/ladder_{base}")
+    job.run()
+    _cache[base] = job
+    return job
+
+
+def q_routed_aggregate_6h(spark, sf_dir):
+    """Continuous-aggregate READ PATH as an oracle row: a one-day range
+    at 6h resolution is answered from the 1h tier TABLE (coarsest
+    divisor; sum/min/max/count re-aggregate algebraically, raw points
+    never read), while DuckDB computes the same panel from the raw token
+    table — cross-engine proof the tier cascade + routing lose nothing."""
+    from time2feat_spark.plans.router import aggregate_range
+
+    job = _ladder_job(spark, sf_dir)
+    tier, out = aggregate_range(job, _T0_MS, _T0_MS + 86_400_000, 6 * 3600)
+    assert tier == "1h", tier
+    return out.select(
+        "source", "doc_id", "bucket_start_ms", "count",
+        F.col("sum").cast("long").alias("sum_v"),
+        F.col("min").cast("long").alias("min_v"),
+        F.col("max").cast("long").alias("max_v"),
+        _r4(F.col("mean")).alias("mean_v"),
+    )
+
+
+def sql_routed_aggregate_6h(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    return f"""
+WITH pts AS (SELECT doc_id, source, unnest(tokens) AS v,
+                    generate_subscripts(tokens, 1) - 1 AS k
+             FROM read_parquet('{path}'))
+SELECT source, doc_id,
+       {_T0_MS} + (k // 21600) * 21600000 AS bucket_start_ms,
+       count(*) AS count,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       round(round(sum(v) * 1.0 / count(*), 7), 4) AS mean_v
+FROM pts GROUP BY ALL
+"""
+
+
+def q_routed_quantile_2h(spark, sf_dir):
+    """Exact holistic percentiles on a 2h grid answered by decoding the
+    1h tier's Gorilla blocks (never the raw table); DuckDB recomputes
+    from raw tokens — the codec, the tier routing, AND Spark's exact
+    percentile all have to agree for this row to hash-match."""
+    from time2feat_spark.plans.router import quantile_range
+
+    job = _ladder_job(spark, sf_dir)
+    out = quantile_range(
+        job, _T0_MS, _T0_MS + 86_400_000, 2 * 3600, qs=(0.5, 0.95)
+    )
+    return out.select(
+        "source", "doc_id", "bucket_start_ms", "count",
+        _r4(F.col("q_0_5")).alias("q50"),
+        _r4(F.col("q_0_95")).alias("q95"),
+    )
+
+
+def sql_routed_quantile_2h(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    return f"""
+WITH pts AS (SELECT doc_id, source, unnest(tokens) AS v,
+                    generate_subscripts(tokens, 1) - 1 AS k
+             FROM read_parquet('{path}'))
+SELECT source, doc_id,
+       {_T0_MS} + (k // 7200) * 7200000 AS bucket_start_ms,
+       count(*) AS count,
+       round(round(quantile_cont(CAST(v AS DOUBLE), 0.5), 7), 4) AS q50,
+       round(round(quantile_cont(CAST(v AS DOUBLE), 0.95), 7), 4) AS q95
+FROM pts GROUP BY ALL
+"""
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """Deterministic mergeable HyperLogLog (md5_64 hash family, m=64
     registers) next to the exact distinct — the estimate itself is
@@ -2282,6 +2371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dbterms": q_bm25_dbterms,
         "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
+        "routed_aggregate_6h": q_routed_aggregate_6h,
+        "routed_quantile_2h": q_routed_quantile_2h,
     }
 
 
@@ -2349,4 +2440,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dbterms": _sql_bm25_dbterms(),
         "decontaminate": SQL_DECONTAMINATE,
         "semantic_dedup": _sql_semantic_dedup(),
+        "routed_aggregate_6h": sql_routed_aggregate_6h("sf0.01"),
+        "routed_quantile_2h": sql_routed_quantile_2h("sf0.01"),
     }
