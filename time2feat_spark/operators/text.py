@@ -506,7 +506,15 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df_t aggregate and the score join; without reuse
+    # Spark recomputes its lineage (a second full corpus scan + explode).
+    # localCheckpoint, not cache() (CLAUDE.md: checkpoint blocks are
+    # reclaimed by the ContextCleaner; cache() entries leak)
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
     idf = F.log((F.col("_n") + 1) / (F.col("df_t") + 1)) + 1
@@ -556,7 +564,13 @@ def bm25_search(
         F.size(words).alias("dl"),
         F.explode(words).alias("term"),
     ).where(F.col("term").isin(terms))
-    tf = base.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # post-filter postings are tiny (<= docs x |query|); checkpoint so the
+    # df_t branch does not re-scan the corpus (same reuse rule as tfidf)
+    tf = (
+        base.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     stats = df.select(
         F.count_distinct(F.col(id_col)).alias("_n"),
