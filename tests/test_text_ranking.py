@@ -193,3 +193,57 @@ def test_semantic_dedup_within_cluster(spark):
         flags = [by_id[i]["is_dup"] for i in ids]
         assert flags == [False, True, True, True], (c, flags)
         assert len({by_id[i]["cell"] for i in ids}) == 1
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streamed register table (real readStream file source,
+    availableNow) must be IDENTICAL to the batch hll_partial over the
+    same data — same hash family, same windows, same registers — so
+    stream + hll_estimate == batch hll_distinct exactly."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from time2feat_spark.operators.approx import hll_distinct, hll_estimate
+    from time2feat_spark.streaming.continuous import streaming_hll_registers
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 3 * 3600 * 1000, n)), unit="ms"
+    )
+    pdf = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b"], n),
+            "ts": ts,
+            "user": rng.integers(0, 700, n),
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    regs = streaming_hll_registers(stream, ["key"], "ts", "user", "1 hour")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = hll_estimate(
+        spark.table("hll_regs"), ["key", "window_start_ms"]
+    )
+
+    batch_df = spark.read.parquet(src).withColumn(
+        "window_start_ms",
+        (F.floor(F.unix_millis("ts") / 3_600_000) * 3_600_000).cast("long"),
+    )
+    want = hll_distinct(batch_df, ["key", "window_start_ms"], "user")
+
+    g = {(r["key"], r["window_start_ms"]): r["hll_estimate"]
+         for r in streamed.collect()}
+    w = {(r["key"], r["window_start_ms"]): r["hll_estimate"]
+         for r in want.collect()}
+    assert g == w and len(g) == 6  # 2 keys x 3 hourly windows

@@ -121,3 +121,49 @@ class ContinuousRollup:
             .parquet(self.out_root)
             .drop("_out_chunk")
         )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming face of `operators/approx.py`: maintain per-window
+    HyperLogLog registers incrementally. Register max is algebraic
+    (associative/commutative/idempotent), so the built-in state store
+    handles it — unlike count_distinct, which is holistic and
+    unbounded-state in a stream. State is BOUNDED at
+    keys x windows x 64 rows regardless of input rate; the sink is a
+    register table that `operators.approx.hll_estimate` (grouped on
+    key_cols + window_start_ms) turns into cardinalities, and that
+    `hll_merge` can fold into the batch ladder's registers — one sketch
+    family across batch and streaming.
+
+    Output: (key_cols..., window_start_ms, bucket, m). Use update mode
+    with a foreachBatch register-upsert for long-running jobs, or
+    complete mode to a small sink when keys x windows is bounded."""
+    from ..functions.hashing import md5_64
+    from ..operators.approx import M, _rho
+
+    h = md5_64(F.concat(F.col(value_col).cast("string"), F.lit(f"|{seed}")))
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(*key_cols, F.col(ts_col).alias("_ts"), h.alias("_h"))
+        .groupBy(
+            *key_cols,
+            F.window("_ts", window).alias("w"),
+            F.col("_h").bitwiseAND(F.lit(M - 1)).alias("bucket"),
+        )
+        .agg(F.max(_rho(F.shiftright(F.col("_h"), 6))).alias("m"))
+        .select(
+            *key_cols,
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "bucket",
+            "m",
+        )
+    )
