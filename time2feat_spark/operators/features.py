@@ -167,7 +167,7 @@ def extract_pair_features(
         ]
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(signal_col)
         sigs = pdf[signal_col].tolist()
         arrs = [np.asarray(a, dtype=np.float64) for a in pdf[value_col]]
