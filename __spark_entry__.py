@@ -2028,6 +2028,46 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_token_window_dups(spark, sf_dir):
+    """ExactSubstr-style duplication signal over the canonical token
+    table: fraction of each doc's 16-token runs whose content occurs
+    >= 2x corpus-wide (md5_64 family so DuckDB replays the run hashes
+    value-exactly). The generator's arithmetic token patterns produce
+    real cross-doc duplicate runs — no augmentation needed. Gated on the
+    first-200-docs slice as the corpus: the md5 replay costs DuckDB
+    ~100 ms per 1k windows, so the full table would dominate the whole
+    oracle pass (the Spark operator itself runs the full table in
+    bench.py and the hand-truth pytest covers both hash families)."""
+    from time2feat_spark.operators.dedup import token_window_dup_frac
+
+    seq = _sequences(spark, sf_dir).where(F.col("doc_id") < "doc_00000200")
+    return token_window_dup_frac(seq, window=16, hash_family="md5")
+
+
+def sql_token_window_dups(sf_base: str) -> str:
+    path = _ensure_sequences(sf_base)
+    return f"""
+WITH w AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(array_to_string(tokens[i:i+15], ',')), 1, 15))
+       AS BIGINT) AS wh
+  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens) - 14)) AS i
+        FROM read_parquet('{path}')
+        WHERE doc_id < 'doc_00000200')),
+c AS (SELECT wh, count(*) AS c FROM w GROUP BY wh),
+per AS (SELECT doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+        FROM w JOIN c USING (wh) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_windows, 0) AS n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       round(round(n_dup_windows * 1.0 / n_windows, 7), 4) AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM read_parquet('{path}')
+      WHERE doc_id < 'doc_00000200') d
+LEFT JOIN per USING (doc_id)
+"""
+
+
 _T0_MS = 1704067200000  # generator epoch: every sequence starts 2024-01-01
 
 
@@ -2373,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "routed_aggregate_6h": q_routed_aggregate_6h,
         "routed_quantile_2h": q_routed_quantile_2h,
+        "token_window_dups": q_token_window_dups,
     }
 
 
@@ -2442,4 +2483,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "routed_aggregate_6h": sql_routed_aggregate_6h("sf0.01"),
         "routed_quantile_2h": sql_routed_quantile_2h("sf0.01"),
+        "token_window_dups": sql_token_window_dups("sf0.01"),
     }

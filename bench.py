@@ -176,6 +176,17 @@ def run_default() -> dict:
     timed("hll_distinct_users", E.q_hll_distinct_users)
     timed("semantic_dedup", E.q_semantic_dedup)
 
+    # full-table ExactSubstr signal on the fast xxhash64 family (the
+    # driver-gated md5 variant runs a slice for oracle-cost reasons)
+    from time2feat_spark.operators.dedup import token_window_dup_frac
+
+    timed(
+        "token_window_dups",
+        lambda s, _: token_window_dup_frac(
+            s.read.parquet(seq_path), window=16
+        ),
+    )
+
     # engine-level shapes with no driver query: sequence packing over the
     # bench token table's lengths, and a routed continuous-aggregate read
     # (one-day range at 6h resolution answered from the 1h tier)

@@ -94,3 +94,29 @@ def test_near_duplicate_clusters_nonconvergence_is_loud(spark):
         for r in near_duplicate_clusters(chain, max_iter=20).collect()
     }
     assert got == {i: 0 for i in range(13)}
+
+
+def test_token_window_dup_frac_hand_truth(spark):
+    from time2feat_spark.operators.dedup import token_window_dup_frac
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1, 2, 3, 4, 5]),   # (1,2,3) shared with d2 -> 1/3
+            ("d2", [9, 1, 2, 3, 8]),   # 1/3
+            ("d3", [7, 7]),            # < window -> 0 windows, NULL frac
+            ("d4", [5, 5, 5, 5, 5]),   # (5,5,5) x3 within-doc -> 3/3
+        ],
+        ["doc_id", "tokens"],
+    )
+    for fam in ("xxhash", "md5"):
+        out = {
+            r["doc_id"]: r
+            for r in token_window_dup_frac(
+                df, window=3, hash_family=fam
+            ).collect()
+        }
+        assert out["d1"]["n_windows"] == 3 and out["d1"]["n_dup_windows"] == 1
+        assert out["d1"]["dup_frac"] == pytest.approx(0.3333)
+        assert out["d2"]["dup_frac"] == pytest.approx(0.3333)
+        assert out["d3"]["n_windows"] == 0 and out["d3"]["dup_frac"] is None
+        assert out["d4"]["n_dup_windows"] == 3 and out["d4"]["dup_frac"] == 1.0

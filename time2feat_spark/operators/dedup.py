@@ -406,3 +406,82 @@ def near_duplicate_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def token_window_dup_frac(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    window: int = 16,
+    min_count: int = 2,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Exact-substring duplication signal at the token level (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr criterion, reformulated for a cluster): a doc's
+    overlapping `window`-token runs are content-hashed; a run occurring
+    >= `min_count` times ANYWHERE in the corpus (other docs or the same
+    doc) is duplicated text. Returns per doc:
+
+      n_windows, n_dup_windows, dup_frac = n_dup/n_windows
+      (frac NULL when the doc has < `window` tokens).
+
+    Filter on dup_frac (or feed it to quality_filter) the way the paper
+    drops duplicated spans before training.
+
+    Scale shape: the paper's suffix array is single-node; the
+    distributed equivalent is windowed hashing — hash runs scan-side
+    (JVM concat + hash inside whole-stage codegen, no token strings
+    leave the scan), then ONE exchange keyed on the run hash where a
+    partition-key count window (no self-join, no second scan of the
+    lineage) tags each occurrence with its global multiplicity, then the
+    doc-keyed aggregate. Skewed hashes (a run repeated millions of
+    times) are bounded by AQE skew splitting plus the fact that only a
+    count crosses the doc aggregate.
+
+    hash_family='md5' switches to the cross-engine md5_64 family
+    (CLAUDE.md: the only hash DuckDB replays) so a SQL oracle can verify
+    value-exactly; xxhash64 is the fast default (~3x cheaper)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_64
+
+    toks = F.col(tokens_col)
+    n = F.size(toks) - F.lit(window - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _h(i):
+        gram = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(toks, i.cast("int"), window),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return md5_64(gram) if hash_family == "md5" else F.xxhash64(gram)
+
+    ex = df.select(
+        F.col(id_col), F.explode(F.transform(idx, _h)).alias("wh")
+    )
+    tagged = ex.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    )
+    per = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("c") >= min_count).cast("long")).alias("n_dup_windows"),
+    )
+    frac = round2(
+        F.try_divide(F.col("n_dup_windows"), F.col("n_windows")), 7, 4
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            frac.alias("dup_frac"),
+        )
+    )
