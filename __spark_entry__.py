@@ -2028,6 +2028,55 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_cms_token_estimates(spark, sf_dir):
+    """Count-Min sketch point estimates for the exact top-30 tokens —
+    (tok, exact_count, cms_estimate) with the estimate computed ONLY
+    from the d=4 x w=512 cell table (never the raw counts); DuckDB
+    rebuilds the identical cells via the md5 family."""
+    from time2feat_spark.operators.approx import cms_build, cms_lookup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("tok")
+    ).localCheckpoint(eager=True)  # feeds both the sketch and the truth
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(30)
+    )
+    sk = cms_build(toks, "tok", d=4, w=512, seed=9)
+    est = cms_lookup(sk, exact.select("tok"), "tok", d=4, w=512, seed=9)
+    return exact.join(est, "tok").select("tok", "exact_count", "cms_estimate")
+
+
+SQL_CMS_TOKEN_ESTIMATES = r"""
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+           FROM documents),
+ex AS (SELECT tok, count(*) AS exact_count FROM t GROUP BY tok
+       ORDER BY exact_count DESC, tok LIMIT 30),
+rs(r) AS (VALUES (0), (1), (2), (3)),
+cells AS (SELECT r,
+                 CAST(('0x' || substr(md5(tok || '|cms9|' || r), 1, 15))
+                      AS BIGINT) % 512 AS col,
+                 count(*) AS cnt
+          FROM t CROSS JOIN rs GROUP BY ALL),
+pc AS (SELECT tok, r,
+              CAST(('0x' || substr(md5(tok || '|cms9|' || r), 1, 15))
+                   AS BIGINT) % 512 AS col
+       FROM ex CROSS JOIN rs)
+SELECT ex.tok, ex.exact_count,
+       CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_estimate
+FROM pc LEFT JOIN cells USING (r, col) JOIN ex USING (tok)
+GROUP BY ex.tok, ex.exact_count
+"""
+
+
 def q_token_window_dups(spark, sf_dir):
     """ExactSubstr-style duplication signal over the canonical token
     table: fraction of each doc's 16-token runs whose content occurs
@@ -2414,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_aggregate_6h": q_routed_aggregate_6h,
         "routed_quantile_2h": q_routed_quantile_2h,
         "token_window_dups": q_token_window_dups,
+        "cms_token_estimates": q_cms_token_estimates,
     }
 
 
@@ -2484,4 +2534,5 @@ def oracle_sql() -> dict[str, str]:
         "routed_aggregate_6h": sql_routed_aggregate_6h("sf0.01"),
         "routed_quantile_2h": sql_routed_quantile_2h("sf0.01"),
         "token_window_dups": sql_token_window_dups("sf0.01"),
+        "cms_token_estimates": SQL_CMS_TOKEN_ESTIMATES,
     }

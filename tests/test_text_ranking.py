@@ -247,3 +247,61 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     w = {(r["key"], r["window_start_ms"]): r["hll_estimate"]
          for r in want.collect()}
     assert g == w and len(g) == 6  # 2 keys x 3 hourly windows
+
+
+def test_cms_overestimate_merge_and_duckdb_replay(spark):
+    import duckdb
+
+    from time2feat_spark.operators.approx import (
+        cms_build, cms_lookup, cms_merge, sql_cms_estimates,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, 30_000)
+    vals = vals[vals < 5_000]
+    df = spark.createDataFrame([(int(v),) for v in vals], ["v"]).repartition(5)
+    probes = spark.createDataFrame(
+        [(int(v),) for v in [1, 2, 3, 17, 4999, 123456]], ["v"]
+    )
+    sk = cms_build(df, "v", d=4, w=1024, seed=2).localCheckpoint(eager=True)
+    est = {
+        r["v"]: r["cms_estimate"]
+        for r in cms_lookup(sk, probes, "v", d=4, w=1024, seed=2).collect()
+    }
+    import collections
+
+    true = collections.Counter(int(v) for v in vals)
+    for p in (1, 2, 3, 17, 4999):
+        assert est[p] >= true[p]                      # CMS never undercounts
+        assert est[p] <= true[p] + 2 * len(vals) / 1024 * 4  # loose eps bound
+    assert est[123456] <= 2 * len(vals) / 1024 * 4    # absent value ~0
+
+    # merge of halves == single-pass sketch (cell-wise sum)
+    h1 = cms_build(df.where(F.col("v") % 2 == 0), "v", d=4, w=1024, seed=2)
+    h2 = cms_build(df.where(F.col("v") % 2 == 1), "v", d=4, w=1024, seed=2)
+    m = {(r["row"], r["col"]): r["cnt"] for r in cms_merge(h1, h2).collect()}
+    s = {(r["row"], r["col"]): r["cnt"] for r in sk.collect()}
+    assert m == s
+
+    # DuckDB replays estimates value-exactly
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE ins AS SELECT * FROM (VALUES "
+        + ", ".join(f"({int(v)})" for v in vals[:2000])
+        + ") t(v)"
+    )
+    df2 = spark.createDataFrame([(int(v),) for v in vals[:2000]], ["v"])
+    sk2 = cms_build(df2, "v", d=4, w=1024, seed=2)
+    got = {
+        r["v"]: r["cms_estimate"]
+        for r in cms_lookup(sk2, probes, "v", d=4, w=1024, seed=2).collect()
+    }
+    want = dict(
+        con.sql(
+            sql_cms_estimates(
+                "ins", "v", "SELECT v FROM (VALUES (1),(2),(3),(17),(4999),"
+                "(123456)) p(v)", d=4, w=1024, seed=2,
+            )
+        ).fetchall()
+    )
+    assert got == want

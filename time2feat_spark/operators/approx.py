@@ -147,3 +147,125 @@ FROM agg
 def hll_error_bound(m: int = M) -> float:
     """Theoretical relative standard error 1.04/sqrt(m) (paper Thm 1)."""
     return 1.04 / math.sqrt(m)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+# --------------------------------------------------------------------------
+
+
+def _cms_col(c: Column, r: int, w: int, seed: int) -> Column:
+    """Row-r column index: md5_64 of the value salted with the row id —
+    the same cross-engine family as the HLL above, so DuckDB replays
+    every cell index exactly."""
+    return md5_64(
+        F.concat(c.cast("string"), F.lit(f"|cms{seed}|{r}"))
+    ) % w
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Count-Min sketch of a value column: a (row, col, cnt) table of
+    d*w cells, built in ONE exchange (explode the d per-value cells
+    scan-side, map-side-combined groupBy). Point estimates are
+    min over rows of the probed cells — always >= the true count, and
+    <= true + 2N/w with probability 1 - (1/2)^d (paper Thm 1).
+
+    Like `hll_partial`, the sketch is the persistable partial: sketches
+    of disjoint inputs merge with `cms_merge` (cell-wise sum), giving
+    frequency estimates maintained under appends without rescanning
+    history — the frequency-sketch sibling of the ladder's quantile
+    cascade. Distinct role vs `text.heavy_hitters`: Misra-Gries answers
+    "which values are frequent" exactly; the CM sketch answers "how
+    frequent is value X" for ANY later probe from O(d*w) state."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_col(F.col(value_col), r, w, seed).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — the append/union path."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-estimate each probe value against a built sketch: min over
+    the d probed cells. The sketch is BROADCAST — its size is bounded at
+    d*w cells by construction regardless of input size, so the probe
+    side (which may itself be a large stream of lookups) never
+    shuffles. Absent cells count 0 — a value never inserted estimates
+    ~0 (exactly 0 unless all d cells collide)."""
+    pc = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col(F.col(value_col), r, w, seed).alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    joined = pc.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )
+
+
+def sql_cms_estimates(
+    table: str,
+    value_expr: str,
+    probe_sql: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 0,
+) -> str:
+    """DuckDB replay of cms_build + cms_lookup: `probe_sql` must yield a
+    one-column relation `v` of probe values; `value_expr` is the
+    inserted value expression over `table`."""
+    rows = ", ".join(f"({r})" for r in range(d))
+    h = sql_md5_64(f"CAST(x AS VARCHAR) || '|cms{seed}|' || r")
+    return f"""
+WITH _cms_rs(r) AS (VALUES {rows}),
+_cms_ins AS (SELECT {value_expr} AS x FROM {table}
+             WHERE {value_expr} IS NOT NULL),
+_cms_cells AS (SELECT r, {h} % {w} AS col, count(*) AS cnt
+               FROM _cms_ins CROSS JOIN _cms_rs GROUP BY ALL),
+_cms_probes AS (SELECT v AS x FROM ({probe_sql})),
+_cms_pc AS (SELECT x, r, {h} % {w} AS col
+            FROM _cms_probes CROSS JOIN _cms_rs)
+SELECT _cms_pc.x AS v, CAST(min(coalesce(_cms_cells.cnt, 0)) AS BIGINT)
+         AS cms_estimate
+FROM _cms_pc LEFT JOIN _cms_cells USING (r, col) GROUP BY _cms_pc.x
+""".strip()
