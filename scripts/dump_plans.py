@@ -147,6 +147,17 @@ def main() -> None:
          "and the per-term df are broadcast; final top-k is "
          "TakeOrderedAndProject, no global sort.",
          fmt(spark, E.q_bm25_dbterms(spark, SF))),
+        ("ExactSubstr token-window dedup (`token_window_dups`)",
+         "Runs hashed scan-side; ONE exchange on the run hash where a "
+         "count window tags global multiplicity (look for a single "
+         "Exchange + Window, no self-join re-scan of the lineage), "
+         "then the doc-keyed summary.",
+         fmt(spark, E.q_token_window_dups(spark, SF))),
+        ("Count-Min estimates (`cms_token_estimates`)",
+         "Sketch built in one map-side-combined exchange (d cells per "
+         "value exploded in the scan projection); lookup broadcasts the "
+         "bounded d*w cell table against the probes.",
+         fmt(spark, E.q_cms_token_estimates(spark, SF))),
         ("SemDeDup (`semantic_dedup`)",
          "Within-cell self-join (r5): cell assignment is a scan-side "
          "Arrow matmul (ArrowEvalPython below the scan, no shuffle); "
