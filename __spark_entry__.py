@@ -2235,6 +2235,79 @@ FROM est JOIN ex USING (event_type)
 """
 
 
+def q_hll_tier_1h(spark, sf_dir):
+    """Distinct-count continuous aggregate: per-(event_type, 1h window)
+    user cardinality estimated from the HLL TIER CASCADE — 1m registers
+    from raw, 1h registers by MERGING the 1m tier (raw is never
+    rescanned). Register max is associative over the nested grid, so
+    DuckDB replaying the 1h registers directly from raw must match
+    value-exactly — the cascade's no-loss proof."""
+    from time2feat_spark.operators.approx import (
+        hll_estimate,
+        hll_partial,
+        hll_tier_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    wms_1m = (
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 60_000)
+        * 60_000
+    ).cast("long")
+    regs_1m = hll_partial(
+        ev.withColumn("wms", wms_1m), ["event_type", "wms"], "user_id"
+    )
+    tiers = hll_tier_rollup(
+        regs_1m, ["event_type"], "wms", [("1m", 60), ("1h", 3600)]
+    )
+    est = hll_estimate(
+        tiers.where(F.col("tier") == "1h"),
+        ["event_type", "window_start_ms"],
+    )
+    exact = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 3_600_000)
+            * 3_600_000
+        ).cast("long").alias("window_start_ms"),
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.join(exact, ["event_type", "window_start_ms"]).select(
+        "event_type", "window_start_ms", "exact_distinct", "hll_estimate"
+    )
+
+
+def _sql_hll_tier_1h() -> str:
+    from time2feat_spark.functions.hashing import sql_md5_64
+    from time2feat_spark.operators.approx import ALPHA, M, RHO_MAX
+
+    h = sql_md5_64("CAST(user_id AS VARCHAR) || '|0'")
+    return f"""
+WITH hv AS (SELECT event_type,
+                   (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+                   {h} AS h
+            FROM events WHERE user_id IS NOT NULL),
+reg AS (SELECT event_type, window_start_ms, h & {M - 1} AS bucket,
+               max(CASE WHEN (h >> 6) = 0 THEN {RHO_MAX}
+                        ELSE {RHO_MAX} - length(bin(h >> 6)) END) AS m
+        FROM hv GROUP BY ALL),
+agg AS (SELECT event_type, window_start_ms,
+               sum(power(2.0, -m)) AS s_used, count(*) AS nb
+        FROM reg GROUP BY ALL),
+est AS (SELECT event_type, window_start_ms,
+               round(round(CASE WHEN {ALPHA * M * M} / (s_used + ({M} - nb))
+                                    <= {2.5 * M} AND nb < {M}
+                               THEN {float(M)} * ln({float(M)} / ({M} - nb))
+                               ELSE {ALPHA * M * M} / (s_used + ({M} - nb))
+                          END, 7), 4) AS hll_estimate
+        FROM agg),
+ex AS (SELECT event_type,
+              (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+              count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY ALL)
+SELECT event_type, window_start_ms, exact_distinct, hll_estimate
+FROM est JOIN ex USING (event_type, window_start_ms)
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per document by smoothed TF-IDF
     (ranked on the rounded score so both engines order identically)."""
@@ -2464,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_quantile_2h": q_routed_quantile_2h,
         "token_window_dups": q_token_window_dups,
         "cms_token_estimates": q_cms_token_estimates,
+        "hll_tier_1h": q_hll_tier_1h,
     }
 
 
@@ -2535,4 +2609,5 @@ def oracle_sql() -> dict[str, str]:
         "routed_quantile_2h": sql_routed_quantile_2h("sf0.01"),
         "token_window_dups": sql_token_window_dups("sf0.01"),
         "cms_token_estimates": SQL_CMS_TOKEN_ESTIMATES,
+        "hll_tier_1h": _sql_hll_tier_1h(),
     }

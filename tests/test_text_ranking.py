@@ -305,3 +305,52 @@ def test_cms_overestimate_merge_and_duckdb_replay(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hll_tier_cascade_equals_direct_registers(spark):
+    """Coarser-tier registers built by MERGING the 1m tier must equal
+    registers computed directly from raw at that tier — bit-for-bit
+    (register max is associative over the nested window grid)."""
+    import pandas as pd
+
+    from time2feat_spark.operators.approx import hll_partial, hll_tier_rollup
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 5 * 3600 * 1000, n), unit="ms"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": rng.choice(["a", "b"], n),
+                "ts": ts,
+                "user": rng.integers(0, 900, n),
+            }
+        )
+    )
+
+    def wcol(sec):
+        return (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / (sec * 1000))
+            * (sec * 1000)
+        ).cast("long")
+
+    regs_1m = hll_partial(
+        df.withColumn("wms", wcol(60)), ["key", "wms"], "user"
+    )
+    tiers = hll_tier_rollup(
+        regs_1m, ["key"], "wms", [("1m", 60), ("1h", 3600), ("1d", 86400)]
+    )
+    for name, sec in (("1h", 3600), ("1d", 86400)):
+        got = {
+            (r["key"], r["window_start_ms"], r["bucket"]): r["m"]
+            for r in tiers.where(F.col("tier") == name).collect()
+        }
+        want = {
+            (r["key"], r["wms"], r["bucket"]): r["m"]
+            for r in hll_partial(
+                df.withColumn("wms", wcol(sec)), ["key", "wms"], "user"
+            ).collect()
+        }
+        assert got == want, name

@@ -269,3 +269,56 @@ SELECT _cms_pc.x AS v, CAST(min(coalesce(_cms_cells.cnt, 0)) AS BIGINT)
          AS cms_estimate
 FROM _cms_pc LEFT JOIN _cms_cells USING (r, col) GROUP BY _cms_pc.x
 """.strip()
+
+
+def hll_tier_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    window_ms_col: str,
+    tiers_sec: list[tuple[str, int]],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Distinct-count continuous aggregate: per-window HLL registers at
+    every tier, where each coarser tier is built by MERGING the finest
+    tier's registers (groupBy + max) — the sketch-cascade posture of
+    `operators/sketch_rollup.py` applied to cardinality. Raw data is
+    touched exactly once (the caller produces the finest-tier registers
+    with `hll_partial` over `floor(ts / finest)` windows); every coarser
+    tier costs O(finer windows x 64), never a raw rescan — the
+    TimescaleDB "approximate count distinct continuous aggregate"
+    feature, Spark-shaped.
+
+    Correctness is EXACT, not approximate, at the register level:
+    register max is associative and the tier grid is nested (each
+    coarser window is a whole number of finer windows), so cascaded
+    registers equal direct-from-raw registers bit-for-bit — pytest
+    asserts it and the driver oracle replays the 1h estimates from raw.
+
+    Input: a register table (key_cols..., window_ms_col, bucket, m)
+    at tiers_sec[0] resolution. Output: (tier, keys..., window_start_ms,
+    bucket, m) for ALL tiers. Feed slices to `hll_estimate`."""
+    name0, sec0 = tiers_sec[0]
+    out = df.select(
+        F.lit(name0).alias("tier"),
+        *key_cols,
+        F.col(window_ms_col).alias("window_start_ms"),
+        bucket_col,
+        "m",
+    )
+    finest = out
+    for name, sec in tiers_sec[1:]:
+        if (sec * 1000) % (sec0 * 1000):
+            raise ValueError(f"tier {name} is not a multiple of {name0}")
+        w = (
+            (F.col("window_start_ms") / (sec * 1000)).cast("long")
+            * (sec * 1000)
+        )
+        coarser = (
+            finest.groupBy(*key_cols, w.alias("window_start_ms"),
+                           bucket_col)
+            .agg(F.max("m").alias("m"))
+            .select(F.lit(name).alias("tier"), *key_cols,
+                    "window_start_ms", bucket_col, "m")
+        )
+        out = out.unionByName(coarser)
+    return out
