@@ -354,3 +354,47 @@ def test_hll_tier_cascade_equals_direct_registers(spark):
             ).collect()
         }
         assert got == want, name
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """Streamed per-window CMS cells == batch cms_build per window."""
+    import pandas as pd
+
+    from time2feat_spark.operators.approx import cms_build
+    from time2feat_spark.streaming.continuous import streaming_cms_cells
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 2 * 3600 * 1000, n), unit="ms"
+    )
+    pdf = pd.DataFrame({"ts": ts, "user": rng.integers(0, 300, n)})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_cms_cells(stream, "ts", "user", "1 hour", d=4, w=256, seed=4)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_ms"], r["row"], r["col"]): r["cnt"]
+        for r in spark.table("cms_cells").collect()
+    }
+
+    batch = spark.read.parquet(src)
+    want = {}
+    for wstart in (1704067200000, 1704070800000):
+        sl = batch.where(
+            (F.unix_millis(F.col("ts").cast("timestamp")) >= wstart)
+            & (F.unix_millis(F.col("ts").cast("timestamp")) < wstart + 3_600_000)
+        )
+        for r in cms_build(sl, "user", d=4, w=256, seed=4).collect():
+            want[(wstart, r["row"], r["col"])] = r["cnt"]
+    assert got == want and len(got) > 0

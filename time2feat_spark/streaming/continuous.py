@@ -167,3 +167,50 @@ def streaming_hll_registers(
             "m",
         )
     )
+
+
+def streaming_cms_cells(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming face of the Count-Min sketch (operators/approx.py):
+    per-window frequency cells maintained incrementally — cell counts
+    are plain sums (algebraic), so the built-in state store handles
+    them with state BOUNDED at windows x d x w rows regardless of the
+    key cardinality flowing through (a per-value streaming count would
+    hold state per distinct value). The sink is the same (row, col,
+    cnt) cell table `cms_lookup` probes and `cms_merge` folds —
+    with `streaming_hll_registers`, one sketch family across batch
+    and streaming for both cardinality and frequency."""
+    from ..operators.approx import _cms_col
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_col(F.col(value_col), r, w, seed).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col).alias("_ts"), F.explode(cells).alias("c"))
+        .groupBy(
+            F.window("_ts", window).alias("w"),
+            F.col("c.row").alias("row"),
+            F.col("c.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "row", "col", "cnt",
+        )
+    )
