@@ -1869,17 +1869,10 @@ def q_heavy_hitters_tokens(spark, sf_dir):
     """Misra-Gries two-pass top-k over exploded document tokens: the
     candidate summary + broadcast recount must equal the true top-30
     (tie-break: count desc, token asc)."""
-    from time2feat_spark.operators.text import heavy_hitters
+    from time2feat_spark.operators.text import _words, heavy_hitters
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda w: F.length(w) > 0,
-            )
-        ).alias("tok")
-    )
+    toks = d.select(F.explode(_words(F.col("text"))).alias("tok"))
     return heavy_hitters(toks, "tok", 30)
 
 
@@ -2034,21 +2027,18 @@ def q_cms_token_estimates(spark, sf_dir):
     from the d=4 x w=512 cell table (never the raw counts); DuckDB
     rebuilds the identical cells via the md5 family."""
     from time2feat_spark.operators.approx import cms_build, cms_lookup
+    from time2feat_spark.operators.text import _words
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda w: F.length(w) > 0,
-            )
-        ).alias("tok")
+        F.explode(_words(F.col("text"))).alias("tok")
     ).localCheckpoint(eager=True)  # feeds both the sketch and the truth
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(30)
+        .localCheckpoint(eager=True)  # probes AND the final join
     )
     sk = cms_build(toks, "tok", d=4, w=512, seed=9)
     est = cms_lookup(sk, exact.select("tok"), "tok", d=4, w=512, seed=9)

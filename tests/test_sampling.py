@@ -85,3 +85,37 @@ def test_mixture_sample_shapes_distribution(spark):
         df, "source", {"wiki": 1.0}, total_rows=100_000
     ).toPandas()
     assert len(tiny) == (df.where("source = 'wiki'").count())
+
+
+def test_md5_family_null_id_matches_sql_replay(spark):
+    """A NULL id must hash to NULL under the md5 family (the DuckDB
+    replay's `md5(CAST(id AS VARCHAR) || '|s')` is NULL), falling to
+    the ELSE split label — never to a concrete hash bucket the oracle
+    can't see."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from time2feat_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id: bigint"
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            df, {"train": 0.5, "test": 0.5}, seed=7, hash_family="md5"
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || '|7'), 1, 15))
+                            AS BIGINT) % 1000000 < 500000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM (VALUES (1), (2), (NULL)) t(doc_id)
+            """
+        ).fetchall()
+    )
+    assert out == want

@@ -59,6 +59,21 @@ def _rho(w: Column) -> Column:
     )
 
 
+def hll_hash(value_col: str, seed: int = 0) -> Column:
+    """The single definition of the HLL value hash — batch
+    (`hll_partial`) and streaming (`streaming_hll_registers`) both use
+    it, so their register tables stay merge-compatible by construction."""
+    return md5_64(F.concat(F.col(value_col).cast("string"), F.lit(f"|{seed}")))
+
+
+def hll_bucket(h: Column) -> Column:
+    return h.bitwiseAND(F.lit(M - 1))
+
+
+def hll_rho(h: Column) -> Column:
+    return _rho(F.shiftright(h, 6))
+
+
 def hll_partial(
     df: DataFrame,
     key_cols: list[str],
@@ -70,12 +85,11 @@ def hll_partial(
     `hll_merge` (register max is associative/commutative/idempotent, so
     re-processing a chunk is harmless — same crash-safety argument as
     the ladder's overwrite-per-unit sink)."""
-    h = md5_64(F.concat(F.col(value_col).cast("string"), F.lit(f"|{seed}")))
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(*key_cols, h.alias("_h"))
-        .groupBy(*key_cols, F.col("_h").bitwiseAND(F.lit(M - 1)).alias("bucket"))
-        .agg(F.max(_rho(F.shiftright(F.col("_h"), 6))).alias("m"))
+        .select(*key_cols, hll_hash(value_col, seed).alias("_h"))
+        .groupBy(*key_cols, hll_bucket(F.col("_h")).alias("bucket"))
+        .agg(F.max(hll_rho(F.col("_h"))).alias("m"))
     )
 
 
@@ -164,6 +178,21 @@ def _cms_col(c: Column, r: int, w: int, seed: int) -> Column:
     ) % w
 
 
+def cms_cells_expr(value_col: str, d: int, w: int, seed: int) -> Column:
+    """The single definition of a value's d (row, col) cells — build,
+    lookup, and the streaming face (`streaming_cms_cells`) all use it,
+    so their cell tables stay merge/probe-compatible by construction."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_col(F.col(value_col), r, w, seed).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     value_col: str,
@@ -184,18 +213,9 @@ def cms_build(
     cascade. Distinct role vs `text.heavy_hitters`: Misra-Gries answers
     "which values are frequent" exactly; the CM sketch answers "how
     frequent is value X" for ANY later probe from O(d*w) state."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                _cms_col(F.col(value_col), r, w, seed).alias("col"),
-            )
-            for r in range(d)
-        ]
-    )
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(F.explode(cells).alias("c"))
+        .select(F.explode(cms_cells_expr(value_col, d, w, seed)).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -225,17 +245,7 @@ def cms_lookup(
     ~0 (exactly 0 unless all d cells collide)."""
     pc = probes.select(
         F.col(value_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_col(F.col(value_col), r, w, seed).alias("col"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("c"),
+        F.explode(cms_cells_expr(value_col, d, w, seed)).alias("c"),
     ).select(value_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
     joined = pc.join(F.broadcast(sketch), ["row", "col"], "left")
     return joined.groupBy(value_col).agg(
@@ -309,8 +319,11 @@ def hll_tier_rollup(
     for name, sec in tiers_sec[1:]:
         if (sec * 1000) % (sec0 * 1000):
             raise ValueError(f"tier {name} is not a multiple of {name0}")
+        # F.floor, NOT cast('long'): the cast truncates toward zero, so
+        # pre-1970 (negative) windows would merge into the wrong coarser
+        # window — same floor-division rule as plans/router.aggregate_range
         w = (
-            (F.col("window_start_ms") / (sec * 1000)).cast("long")
+            F.floor(F.col("window_start_ms") / (sec * 1000)).cast("long")
             * (sec * 1000)
         )
         coarser = (

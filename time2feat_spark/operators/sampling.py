@@ -32,8 +32,13 @@ _RES = 1_000_000
 
 def _hash(id_col: str, seed: int, hash_family: str) -> Column:
     if hash_family == "md5":
+        # F.concat (null-propagating), NOT concat_ws (which skips NULLs):
+        # the documented DuckDB replay `md5(CAST(id AS VARCHAR) || '|s')`
+        # yields NULL for a NULL id, and the Spark side must agree —
+        # concat_ws would silently hash the bare seed instead and assign
+        # the row a concrete bucket the oracle never sees
         return md5_64(
-            F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+            F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
         )
     return F.xxhash64(F.col(id_col), F.lit(seed))
 

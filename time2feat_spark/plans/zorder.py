@@ -76,6 +76,12 @@ def zorder_write(
         F.min(F.col(a).cast("double")), F.max(F.col(a).cast("double")),
         F.min(F.col(b).cast("double")), F.max(F.col(b).cast("double")),
     ).first()
+    if any(x is None for x in stats):
+        raise ValueError(
+            f"zorder_write needs numeric, non-all-NULL values in {cols}; "
+            f"min/max came back {tuple(stats)} (empty input or all-NULL "
+            "column)"
+        )
     lo_a, hi_a, lo_b, hi_b = (float(x) for x in stats)
     z = morton2(
         _grid16(F.col(a), lo_a, hi_a), _grid16(F.col(b), lo_b, hi_b)
@@ -104,12 +110,20 @@ def files_intersecting(
     for f in glob.glob(f"{path}/*.parquet"):
         md = pq.ParquetFile(f).metadata
         fmin = fmax = None
+        stats_missing = False
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                # a stats-less row group is non-prunable: the planner
+                # must treat the whole file as touched
+                stats_missing = True
+                break
             fmin = st.min if fmin is None else min(fmin, st.min)
             fmax = st.max if fmax is None else max(fmax, st.max)
         total += 1
-        if fmin is not None and not (fmax < lo or fmin > hi):
+        if stats_missing or (
+            fmin is not None and not (fmax < lo or fmin > hi)
+        ):
             touched += 1
     return touched, total

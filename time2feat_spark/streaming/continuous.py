@@ -146,20 +146,22 @@ def streaming_hll_registers(
     Output: (key_cols..., window_start_ms, bucket, m). Use update mode
     with a foreachBatch register-upsert for long-running jobs, or
     complete mode to a small sink when keys x windows is bounded."""
-    from ..functions.hashing import md5_64
-    from ..operators.approx import M, _rho
+    from ..operators.approx import hll_bucket, hll_hash, hll_rho
 
-    h = md5_64(F.concat(F.col(value_col).cast("string"), F.lit(f"|{seed}")))
     return (
         stream.where(F.col(value_col).isNotNull())
         .withWatermark(ts_col, watermark)
-        .select(*key_cols, F.col(ts_col).alias("_ts"), h.alias("_h"))
+        .select(
+            *key_cols,
+            F.col(ts_col).alias("_ts"),
+            hll_hash(value_col, seed).alias("_h"),
+        )
         .groupBy(
             *key_cols,
             F.window("_ts", window).alias("w"),
-            F.col("_h").bitwiseAND(F.lit(M - 1)).alias("bucket"),
+            hll_bucket(F.col("_h")).alias("bucket"),
         )
-        .agg(F.max(_rho(F.shiftright(F.col("_h"), 6))).alias("m"))
+        .agg(F.max(hll_rho(F.col("_h"))).alias("m"))
         .select(
             *key_cols,
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -188,21 +190,15 @@ def streaming_cms_cells(
     cnt) cell table `cms_lookup` probes and `cms_merge` folds —
     with `streaming_hll_registers`, one sketch family across batch
     and streaming for both cardinality and frequency."""
-    from ..operators.approx import _cms_col
+    from ..operators.approx import cms_cells_expr
 
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                _cms_col(F.col(value_col), r, w, seed).alias("col"),
-            )
-            for r in range(d)
-        ]
-    )
     return (
         stream.where(F.col(value_col).isNotNull())
         .withWatermark(ts_col, watermark)
-        .select(F.col(ts_col).alias("_ts"), F.explode(cells).alias("c"))
+        .select(
+            F.col(ts_col).alias("_ts"),
+            F.explode(cms_cells_expr(value_col, d, w, seed)).alias("c"),
+        )
         .groupBy(
             F.window("_ts", window).alias("w"),
             F.col("c.row").alias("row"),
