@@ -2021,6 +2021,36 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_unigram_xent(spark, sf_dir):
+    """Perplexity-style quality score: per-doc cross-entropy (and ppl)
+    under the corpus-self-trained unigram LM — CCNet's LM filter with
+    the model reduced to unigrams; per-token -ln p snapped to integer
+    micro-scores so the tf-weighted sums are order-independent."""
+    from time2feat_spark.operators.text import unigram_crossentropy
+
+    return unigram_crossentropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_XENT = r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf GROUP BY term),
+nn AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+per AS (SELECT doc_id,
+               CAST(sum(tf * CAST(floor(abs(-ln(c_t * 1.0 / n)) * 1e6 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS msum,
+               CAST(sum(tf) AS BIGINT) AS n_tokens
+        FROM tf JOIN ct USING (term) CROSS JOIN nn GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       round(round(msum / 1e6 / n_tokens, 7), 4) AS xent,
+       round(round(exp(msum / 1e6 / n_tokens), 7), 4) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_cms_token_estimates(spark, sf_dir):
     """Count-Min sketch point estimates for the exact top-30 tokens —
     (tok, exact_count, cms_estimate) with the estimate computed ONLY
@@ -2528,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_window_dups": q_token_window_dups,
         "cms_token_estimates": q_cms_token_estimates,
         "hll_tier_1h": q_hll_tier_1h,
+        "unigram_xent": q_unigram_xent,
     }
 
 
@@ -2600,4 +2631,5 @@ def oracle_sql() -> dict[str, str]:
         "token_window_dups": sql_token_window_dups("sf0.01"),
         "cms_token_estimates": SQL_CMS_TOKEN_ESTIMATES,
         "hll_tier_1h": _sql_hll_tier_1h(),
+        "unigram_xent": SQL_UNIGRAM_XENT,
     }

@@ -398,3 +398,32 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
         for r in cms_build(sl, "user", d=4, w=256, seed=4).collect():
             want[(wstart, r["row"], r["col"])] = r["cnt"]
     assert got == want and len(got) > 0
+
+
+def test_unigram_crossentropy_hand_truth(spark):
+    import collections
+
+    from time2feat_spark.operators.text import unigram_crossentropy
+
+    corpus = [(1, "a a b"), (2, "a c"), (3, "")]
+    out = {r["doc_id"]: r for r in
+           unigram_crossentropy(
+               spark.createDataFrame(corpus, ["doc_id", "text"])
+           ).collect()}
+    counts = collections.Counter("a a b a c".split())
+    n = 5
+    micro = {t: math.floor(abs(-math.log(c / n)) * 1e6 + 0.5)
+             for t, c in counts.items()}
+    for d, text in corpus[:2]:
+        toks = text.split()
+        msum = sum(micro[t] for t in toks)
+        h = msum / 1e6 / len(toks)
+        assert out[d]["n_tokens"] == len(toks)
+        assert out[d]["xent"] == pytest.approx(round(round(h, 7), 4), abs=1e-9)
+        assert out[d]["ppl"] == pytest.approx(
+            round(round(math.exp(h), 7), 4), abs=1e-9)
+    assert out[3]["n_tokens"] == 0 and out[3]["xent"] is None
+    # common-token doc (1: a,a,b) scores LOWER xent than rare-token doc (2: a,c)?
+    # doc1 has 'a' x2 (p=.6) + b (p=.2); doc2 has a (.6) + c (.2):
+    # doc1 H = (2*.51+1.61)/3 ≈ 0.88, doc2 H = (.51+1.61)/2 ≈ 1.06
+    assert out[1]["xent"] < out[2]["xent"]

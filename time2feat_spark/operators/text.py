@@ -654,3 +654,61 @@ def decontaminate(
             F.coalesce(frac >= threshold, F.lit(False)).alias("decon_flag"),
         )
     )
+
+
+def unigram_crossentropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality score from a corpus-self-trained unigram
+    LM (the shape of CCNet's KenLM filter, Wenzek et al. 2020, with the
+    n-gram model reduced to unigrams so it trains in one aggregate):
+    per doc, the average negative log-likelihood of its tokens under
+    the corpus token distribution p(t) = count(t)/N, plus the
+    perplexity exp(H). Boilerplate/templated docs score LOW (their
+    tokens are corpus-frequent), lorem-ipsum/noise scores HIGH — filter
+    both tails like CCNet's head/middle/tail buckets.
+
+    Cross-engine determinism: each token's -ln p is snapped to an
+    integer micro-score before the tf-weighted per-doc sum (float
+    reduction order never matters — the BM25 pattern); H and ppl are
+    round_bin'd after one final division/exp.
+
+    Scale shape: token stats are one map-side-combined explode +
+    two-level aggregate; the per-term model joins the per-doc tf table
+    on the term key (the vocabulary exchange); N rides along as a
+    broadcast one-row agg. Output: (id, n_tokens, xent, ppl) — xent in
+    nats; docs with no tokens get NULLs."""
+    toks = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds term counts AND the score join
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("c_t"))
+    n_total = tf.agg(F.sum("tf").alias("_n"))
+    neg_ln_p = -F.log(F.col("c_t") / F.col("_n"))
+    micro = (F.floor(F.abs(neg_ln_p * 1e6) + F.lit(0.5))).cast("long")
+    per_doc = (
+        tf.join(ct, "term")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * micro).alias("_msum"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    h = F.col("_msum") / 1e6 / F.col("n_tokens")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            round2(h, 7, 4).alias("xent"),
+            round2(F.exp(h), 7, 4).alias("ppl"),
+        )
+    )
