@@ -2021,6 +2021,61 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 40
+
+
+def _mix_thresholds(sf_dir: str) -> dict[str, int]:
+    """EXACTLY the keep thresholds mixture_sample derives: same counts
+    (same parquet), same Python float arithmetic, same int(round(...)) —
+    embedded as literals so the SQL oracle replays the identical cut
+    (SQL round() is half-away-from-zero while Python's is half-even, so
+    the threshold must be computed HERE, not re-derived in SQL)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    counts: dict[str, int] = {}
+    for s in t["source"].to_pylist():
+        counts[s] = counts.get(s, 0) + 1
+    total_w = sum(_MIX_WEIGHTS.values())
+    out = {}
+    for src, wgt in _MIX_WEIGHTS.items():
+        want = _MIX_TOTAL * (wgt / total_w)
+        have = counts.get(src, 0)
+        frac = min(want / have, 1.0) if have else 0.0
+        out[src] = int(round(frac * 1_000_000))
+    return out
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mixture shaping (md5 family): down-sample three sources
+    toward 50/30/20 of a 40-doc budget; keep decisions are pure hash
+    thresholds (no shuffle on the data path)."""
+    from time2feat_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", _MIX_WEIGHTS, _MIX_TOTAL,
+        id_col="doc_id", seed=11, hash_family="md5",
+    )
+    return out.select("doc_id", "source")
+
+
+def _sql_mixture_sample(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN bk < {t}"
+        for s, t in _mix_thresholds(sf_dir).items()
+    )
+    return f"""
+WITH b AS (SELECT doc_id, source,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 15))
+       AS BIGINT) % 1000000 AS bk
+  FROM documents)
+SELECT doc_id, source FROM b
+WHERE CASE {cases} ELSE FALSE END
+"""
+
+
 def q_unigram_xent(spark, sf_dir):
     """Perplexity-style quality score: per-doc cross-entropy (and ppl)
     under the corpus-self-trained unigram LM — CCNet's LM filter with
@@ -2559,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_estimates": q_cms_token_estimates,
         "hll_tier_1h": q_hll_tier_1h,
         "unigram_xent": q_unigram_xent,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2632,4 +2688,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_estimates": SQL_CMS_TOKEN_ESTIMATES,
         "hll_tier_1h": _sql_hll_tier_1h(),
         "unigram_xent": SQL_UNIGRAM_XENT,
+        "mixture_sample": _sql_mixture_sample(),
     }
