@@ -176,6 +176,10 @@ def run_default() -> dict:
     timed("hll_distinct_users", E.q_hll_distinct_users)
     timed("semantic_dedup", E.q_semantic_dedup)
 
+    timed("unigram_xent", E.q_unigram_xent)
+    timed("cms_token_estimates", E.q_cms_token_estimates)
+    timed("hll_tier_1h", E.q_hll_tier_1h)
+
     # full-table ExactSubstr signal on the fast xxhash64 family (the
     # driver-gated md5 variant runs a slice for oracle-cost reasons)
     from time2feat_spark.operators.dedup import token_window_dup_frac
