@@ -2021,6 +2021,37 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information
+    (support floor 5) — the classic phrase-mining pass, ranked on the
+    rounded score with lexicographic tie-break."""
+    from time2feat_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH w AS (SELECT regexp_extract_all(lower(text), '\S+') AS ws
+           FROM documents),
+uni AS (SELECT u AS wd, count(*) AS c
+        FROM (SELECT unnest(ws) AS u FROM w) GROUP BY u),
+big AS (SELECT array_to_string(ws[i:i+1], ' ') AS bigram
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+bc AS (SELECT bigram, count(*) AS c_ab,
+              string_split(bigram, ' ')[1] AS w1,
+              string_split(bigram, ' ')[2] AS w2
+       FROM big GROUP BY bigram HAVING count(*) >= 5),
+nn AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n FROM w)
+SELECT bigram, c_ab,
+       u1.c AS c_a, u2.c AS c_b,
+       round(round(ln(c_ab * 1.0 * n / (u1.c * u2.c)), 7), 4) AS pmi
+FROM bc JOIN uni u1 ON u1.wd = bc.w1
+        JOIN uni u2 ON u2.wd = bc.w2
+        CROSS JOIN nn
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 _MIX_TOTAL = 40
 
@@ -2615,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tier_1h": q_hll_tier_1h,
         "unigram_xent": q_unigram_xent,
         "mixture_sample": q_mixture_sample,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -2689,4 +2721,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_tier_1h": _sql_hll_tier_1h(),
         "unigram_xent": SQL_UNIGRAM_XENT,
         "mixture_sample": _sql_mixture_sample(),
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
     }

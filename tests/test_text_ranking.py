@@ -427,3 +427,27 @@ def test_unigram_crossentropy_hand_truth(spark):
     # doc1 has 'a' x2 (p=.6) + b (p=.2); doc2 has a (.6) + c (.2):
     # doc1 H = (2*.51+1.61)/3 ≈ 0.88, doc2 H = (.51+1.61)/2 ≈ 1.06
     assert out[1]["xent"] < out[2]["xent"]
+
+
+def test_pmi_collocations_hand_truth(spark):
+    from time2feat_spark.operators.text import pmi_collocations
+
+    # "strong tea" always co-occurs; "the cat" is frequent but independent
+    docs = [(i, "strong tea please") for i in range(6)]
+    docs += [(100 + i, "the cat and the dog") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = pmi_collocations(df, k=10, min_count=5).collect()
+    got = {r["bigram"]: r for r in rows}
+    # bigram totals: 6*2 + 6*4 = 36; unigrams: strong 6, tea 6, the 12...
+    import math
+
+    want_st = round(round(math.log(6 * 36 / (6 * 6)), 7), 4)
+    assert got["strong tea"]["c_ab"] == 6
+    assert got["strong tea"]["pmi"] == pytest.approx(want_st, abs=1e-9)
+    # all perfectly-associated pairs tie at ln 6; lexicographic tie-break
+    assert rows[0]["bigram"] == "cat and"          # ties strong tea at ln 6
+    assert got["cat and"]["pmi"] == got["strong tea"]["pmi"]
+    # ...and they all outrank pairs diluted by an independent word
+    assert got["strong tea"]["pmi"] > got["the cat"]["pmi"]
+    # support floor: nothing below min_count leaks in
+    assert all(r["c_ab"] >= 5 for r in rows)

@@ -712,3 +712,60 @@ def unigram_crossentropy(
             round2(F.exp(h), 7, 4).alias("ppl"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(a,b) = ln(c_ab * N / (c_a * c_b)) over
+    adjacent word pairs, with a `min_count` support floor (PMI without
+    support surfaces hapax noise). Classic vocabulary/phrase-mining
+    pass over a corpus ("new york", "machine learning").
+
+    N is the bigram total; unigram counts use the same token stream.
+    Ranked on the ROUNDED score (ties: bigram asc) so engines order
+    identically. Scale shape: two explode+aggregate passes (bigrams,
+    unigrams) joined on the word keys — map-side combined, vocabulary-
+    keyed exchanges only; top-k is TakeOrdered."""
+    words = _words(F.col(text_col))
+    grams = word_ngrams(F.col(text_col), 2)
+    big = (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .localCheckpoint(eager=True)  # feeds N agg and both unigram joins
+    )
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # joined twice (w1 and w2)
+    )
+    n_big = df.select(
+        F.coalesce(
+            F.sum(F.greatest(F.size(words) - 1, F.lit(0))), F.lit(0)
+        ).alias("_n")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        F.col("c_ab").cast("double") * F.col("_n")
+        / (F.col("c_a").cast("double") * F.col("c_b"))
+    )
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "bigram", "c_ab", "c_a", "c_b",
+            round2(pmi, 7, 4).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
