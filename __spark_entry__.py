@@ -2021,6 +2021,37 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_source_kl(spark, sf_dir):
+    """Mixture diagnostics: KL(source || corpus) of every source's
+    unigram distribution, micro-nat integer sums for order-independent
+    cross-engine equality."""
+    from time2feat_spark.operators.text import source_kl_divergence
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_KL = r"""
+WITH toks AS (SELECT source AS src,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+st AS (SELECT src, term, count(*) AS c_st FROM toks GROUP BY ALL),
+ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+ns AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY src),
+nn AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+per AS (SELECT src, any_value(n_s) AS n_s,
+               CAST(sum(c_st * CAST(
+                 floor(abs(ln(c_st * 1.0 * n / (n_s * 1.0 * c_t)) * 1e6)
+                       + 0.5)
+                 * sign(ln(c_st * 1.0 * n / (n_s * 1.0 * c_t)))
+                 AS BIGINT)) AS BIGINT) AS msum
+        FROM st JOIN ct USING (term) JOIN ns USING (src) CROSS JOIN nn
+        GROUP BY src)
+SELECT src AS source, n_s AS n_tokens,
+       round(round(msum / 1e6 / n_s, 7), 4) AS kl_nats
+FROM per
+"""
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-20 bigram collocations by pointwise mutual information
     (support floor 5) — the classic phrase-mining pass, ranked on the
@@ -2647,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_xent": q_unigram_xent,
         "mixture_sample": q_mixture_sample,
         "pmi_collocations": q_pmi_collocations,
+        "source_kl": q_source_kl,
     }
 
 
@@ -2722,4 +2754,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": SQL_UNIGRAM_XENT,
         "mixture_sample": _sql_mixture_sample(),
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "source_kl": SQL_SOURCE_KL,
     }

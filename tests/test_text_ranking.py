@@ -451,3 +451,31 @@ def test_pmi_collocations_hand_truth(spark):
     assert got["strong tea"]["pmi"] > got["the cat"]["pmi"]
     # support floor: nothing below min_count leaks in
     assert all(r["c_ab"] >= 5 for r in rows)
+
+
+def test_source_kl_divergence_hand_truth(spark):
+    import collections
+
+    from time2feat_spark.operators.text import source_kl_divergence
+
+    docs = [
+        ("a", "x x y"), ("a", "x y"),        # src a: x3 y2
+        ("b", "z z z w"),                      # src b: z3 w1
+    ]
+    df = spark.createDataFrame(docs, ["source", "text"])
+    out = {r["source"]: r for r in source_kl_divergence(df).collect()}
+
+    corpus = collections.Counter("x x y x y z z z w".split())
+    n = 9
+    for src, toks in (("a", "x x y x y"), ("b", "z z z w")):
+        cs = collections.Counter(toks.split())
+        ns = sum(cs.values())
+        msum = 0
+        for t, c in cs.items():
+            lr = math.log((c * n) / (ns * corpus[t]))
+            msum += c * math.floor(abs(lr) * 1e6 + 0.5) * (1 if lr >= 0 else -1)
+        want = round(round(msum / 1e6 / ns, 7), 4)
+        assert out[src]["n_tokens"] == ns
+        assert out[src]["kl_nats"] == pytest.approx(want, abs=1e-9)
+    # disjoint vocabularies: both sources drift strictly away from the mix
+    assert out["a"]["kl_nats"] > 0 and out["b"]["kl_nats"] > 0

@@ -769,3 +769,54 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture diagnostics: KL(p_source || p_corpus) of each source's
+    unigram token distribution against the whole corpus — the standard
+    'how far does this slice drift from the mix' number used when
+    re-weighting training mixtures (large KL = distinct vocabulary,
+    near-zero = redundant slice).
+
+    KL = sum_t p_s(t) * ln(p_s(t) / p(t)) over the source's tokens
+    (p_s(t) > 0 terms only; p(t) > 0 always since the corpus includes
+    the source). Per-term ln ratios are snapped to integer micro-nats
+    before the weighted sum (the repo's order-independent float rule);
+    output KL is rounded 7->4. One explode + two-level aggregate; the
+    corpus totals ride a broadcast join on the term key."""
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    st = (
+        toks.groupBy("src", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)  # feeds corpus totals AND the KL join
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_src = st.groupBy("src").agg(F.sum("c_st").alias("n_s"))
+    n_tot = st.agg(F.sum("c_st").alias("_n"))
+    # ln(p_s/p) = ln((c_st/n_s) / (c_t/N)) = ln(c_st * N / (n_s * c_t));
+    # micro-int BEFORE the weighted sum; weight = c_st (x1e6 scale keeps
+    # the final divide-by-n_s exact-integer until one rounding)
+    lr = F.log(
+        F.col("c_st").cast("double") * F.col("_n")
+        / (F.col("n_s").cast("double") * F.col("c_t"))
+    )
+    micro = (F.floor(F.abs(lr * 1e6) + F.lit(0.5)) * F.signum(lr)).cast("long")
+    per = (
+        st.join(ct, "term")
+        .join(F.broadcast(n_src), "src")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("src", "n_s")
+        .agg(F.sum(F.col("c_st") * micro).alias("_msum"))
+    )
+    return per.select(
+        F.col("src").alias(source_col),
+        F.col("n_s").alias("n_tokens"),
+        round2(F.col("_msum") / 1e6 / F.col("n_s"), 7, 4).alias("kl_nats"),
+    )
