@@ -2021,6 +2021,78 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation disposition, one oracle row: quality filter
+    -> exact dedup -> eval-set decontamination -> train/val/test split,
+    composed exactly as a user would chain the operators. Every stage is
+    individually oracle-green; this row proves the COMPOSITION (join
+    semantics, NULL handling between stages, split assignment only for
+    finally-kept docs) also matches SQL end to end."""
+    from time2feat_spark.functions.hashing import md5_64
+    from time2feat_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    bq = md5_64(F.concat(F.col("doc_id").cast("string"), F.lit("|e"))) % 10
+    base = T.quality_filter(d).select(
+        "doc_id", F.col("keep").alias("keep_quality"), bq.alias("_bk")
+    )
+    kp = D.exact_dedup(d).select(
+        F.col("keeper_id").alias("doc_id"), F.lit(True).alias("_keeper")
+    )
+    dec = T.decontaminate(
+        d.where(bq != 0), d.where(bq == 0), n=3, threshold=0.5
+    ).select("doc_id", "decon_flag")
+    sp = deterministic_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id", seed=7, hash_family="md5",
+    ).select("doc_id", "split")
+    out = (
+        base.join(kp, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(sp, "doc_id")
+    )
+    is_dup = ~F.coalesce(F.col("_keeper"), F.lit(False))
+    in_eval = F.col("_bk") == 0
+    decf = F.coalesce(F.col("decon_flag"), F.lit(False))
+    final = F.col("keep_quality") & ~is_dup & ~in_eval & ~decf
+    return out.select(
+        "doc_id",
+        "keep_quality",
+        is_dup.alias("is_dup"),
+        in_eval.alias("in_eval"),
+        decf.alias("decon_flag"),
+        final.alias("final_keep"),
+        F.when(final, F.col("split")).alias("split"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH qf AS ({SQL_QUALITY_FILTER}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+dec AS ({SQL_DECONTAMINATE}),
+sp AS ({SQL_DETERMINISTIC_SPLIT}),
+bb AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|e'), 1, 15))
+       AS BIGINT) % 10 AS bk
+  FROM documents)
+SELECT bb.doc_id,
+       qf.keep AS keep_quality,
+       (k.doc_id IS NULL) AS is_dup,
+       (bb.bk = 0) AS in_eval,
+       coalesce(dec.decon_flag, FALSE) AS decon_flag,
+       (qf.keep AND k.doc_id IS NOT NULL AND bb.bk != 0
+        AND NOT coalesce(dec.decon_flag, FALSE)) AS final_keep,
+       CASE WHEN (qf.keep AND k.doc_id IS NOT NULL AND bb.bk != 0
+                  AND NOT coalesce(dec.decon_flag, FALSE))
+            THEN sp.split END AS split
+FROM bb JOIN qf USING (doc_id)
+        LEFT JOIN k ON k.doc_id = bb.doc_id
+        LEFT JOIN dec ON dec.doc_id = bb.doc_id
+        JOIN sp ON sp.doc_id = bb.doc_id
+"""
+
+
 def q_source_kl(spark, sf_dir):
     """Mixture diagnostics: KL(source || corpus) of every source's
     unigram distribution, micro-nat integer sums for order-independent
@@ -2679,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pmi_collocations": q_pmi_collocations,
         "source_kl": q_source_kl,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2755,4 +2828,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture_sample(),
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "source_kl": SQL_SOURCE_KL,
+        "curation_pipeline": _sql_curation_pipeline(),
     }
