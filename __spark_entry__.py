@@ -2021,6 +2021,40 @@ LEFT JOIN tg USING (doc_id)
 """
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail disposal: docs bucketed into per-source
+    perplexity terciles of the unigram cross-entropy (head = lowest
+    xent). ntile over (source, xent) with doc_id tie-break — identical
+    window semantics in both engines."""
+    from time2feat_spark.operators.text import unigram_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    x = unigram_crossentropy(d).join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.asc("xent"), F.asc("doc_id"))
+    bucket = F.ntile(3).over(w)
+    return x.where(F.col("xent").isNotNull()).select(
+        "doc_id",
+        "source",
+        "xent",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("ppl_bucket"),
+    )
+
+
+def _sql_ppl_buckets() -> str:
+    return f"""
+WITH x AS ({SQL_UNIGRAM_XENT}),
+j AS (SELECT x.doc_id, d.source, x.xent
+      FROM x JOIN documents d USING (doc_id) WHERE x.xent IS NOT NULL)
+SELECT doc_id, source, xent,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY source ORDER BY xent, doc_id)]
+         AS ppl_bucket
+FROM j
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """END-TO-END curation disposition, one oracle row: quality filter
     -> exact dedup -> eval-set decontamination -> train/val/test split,
@@ -2752,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "source_kl": q_source_kl,
         "curation_pipeline": q_curation_pipeline,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -2829,4 +2864,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "source_kl": SQL_SOURCE_KL,
         "curation_pipeline": _sql_curation_pipeline(),
+        "ppl_buckets": _sql_ppl_buckets(),
     }
