@@ -158,6 +158,13 @@ def main() -> None:
          "value exploded in the scan projection); lookup broadcasts the "
          "bounded d*w cell table against the probes.",
          fmt(spark, E.q_cms_token_estimates(spark, SF))),
+        ("Curation pipeline (`curation_pipeline`)",
+         "Four chained stages in ONE plan: quality rules ride the scan "
+         "projection; dedup keepers and the split are hash-side "
+         "aggregates/projections; decontamination contributes its "
+         "broadcast gram join — stages fuse instead of materializing "
+         "between steps.",
+         fmt(spark, E.q_curation_pipeline(spark, SF))),
         ("SemDeDup (`semantic_dedup`)",
          "Within-cell self-join (r5): cell assignment is a scan-side "
          "Arrow matmul (ArrowEvalPython below the scan, no shuffle); "
