@@ -2110,20 +2110,21 @@ bb AS (SELECT doc_id,
   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|e'), 1, 15))
        AS BIGINT) % 10 AS bk
   FROM documents)
-SELECT bb.doc_id,
-       qf.keep AS keep_quality,
-       (k.doc_id IS NULL) AS is_dup,
-       (bb.bk = 0) AS in_eval,
-       coalesce(dec.decon_flag, FALSE) AS decon_flag,
-       (qf.keep AND k.doc_id IS NOT NULL AND bb.bk != 0
-        AND NOT coalesce(dec.decon_flag, FALSE)) AS final_keep,
-       CASE WHEN (qf.keep AND k.doc_id IS NOT NULL AND bb.bk != 0
-                  AND NOT coalesce(dec.decon_flag, FALSE))
-            THEN sp.split END AS split
-FROM bb JOIN qf USING (doc_id)
-        LEFT JOIN k ON k.doc_id = bb.doc_id
-        LEFT JOIN dec ON dec.doc_id = bb.doc_id
-        JOIN sp ON sp.doc_id = bb.doc_id
+SELECT doc_id, keep_quality, is_dup, in_eval, decon_flag, final_keep,
+       CASE WHEN final_keep THEN split END AS split
+FROM (
+  SELECT bb.doc_id,
+         qf.keep AS keep_quality,
+         (k.doc_id IS NULL) AS is_dup,
+         (bb.bk = 0) AS in_eval,
+         coalesce(dec.decon_flag, FALSE) AS decon_flag,
+         (qf.keep AND k.doc_id IS NOT NULL AND bb.bk != 0
+          AND NOT coalesce(dec.decon_flag, FALSE)) AS final_keep,
+         sp.split
+  FROM bb JOIN qf USING (doc_id)
+          LEFT JOIN k ON k.doc_id = bb.doc_id
+          LEFT JOIN dec ON dec.doc_id = bb.doc_id
+          JOIN sp ON sp.doc_id = bb.doc_id)
 """
 
 
@@ -2195,24 +2196,19 @@ _MIX_TOTAL = 40
 
 def _mix_thresholds(sf_dir: str) -> dict[str, int]:
     """EXACTLY the keep thresholds mixture_sample derives: same counts
-    (same parquet), same Python float arithmetic, same int(round(...)) —
-    embedded as literals so the SQL oracle replays the identical cut
-    (SQL round() is half-away-from-zero while Python's is half-even, so
-    the threshold must be computed HERE, not re-derived in SQL)."""
+    (same parquet) fed through the OPERATOR'S OWN
+    `sampling.mixture_thresholds` arithmetic — shared code, not a
+    re-implementation, so the SQL literals cannot drift from the Spark
+    keep decisions."""
     import pyarrow.parquet as pq
+
+    from time2feat_spark.operators.sampling import mixture_thresholds
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
     counts: dict[str, int] = {}
     for s in t["source"].to_pylist():
         counts[s] = counts.get(s, 0) + 1
-    total_w = sum(_MIX_WEIGHTS.values())
-    out = {}
-    for src, wgt in _MIX_WEIGHTS.items():
-        want = _MIX_TOTAL * (wgt / total_w)
-        have = counts.get(src, 0)
-        frac = min(want / have, 1.0) if have else 0.0
-        out[src] = int(round(frac * 1_000_000))
-    return out
+    return mixture_thresholds(counts, _MIX_WEIGHTS, _MIX_TOTAL)
 
 
 def q_mixture_sample(spark, sf_dir):
@@ -2270,7 +2266,7 @@ SELECT d.doc_id,
        coalesce(n_tokens, 0) AS n_tokens,
        round(round(msum / 1e6 / n_tokens, 7), 4) AS xent,
        round(round(exp(msum / 1e6 / n_tokens), 7), 4) AS ppl
-FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
 """
 
 
@@ -2354,7 +2350,7 @@ SELECT d.doc_id,
        coalesce(n_windows, 0) AS n_windows,
        coalesce(n_dup_windows, 0) AS n_dup_windows,
        round(round(n_dup_windows * 1.0 / n_windows, 7), 4) AS dup_frac
-FROM (SELECT DISTINCT doc_id FROM read_parquet('{path}')
+FROM (SELECT doc_id FROM read_parquet('{path}')
       WHERE doc_id < 'doc_00000200') d
 LEFT JOIN per USING (doc_id)
 """

@@ -140,17 +140,31 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    b = _bucket(id_col, seed, hash_family)
+    keep = None
+    for src, cut in mixture_thresholds(
+        counts, target_weights, total_rows
+    ).items():
+        cond = (F.col(source_col) == src) & (b < cut)
+        keep = cond if keep is None else keep | cond
+    return df.where(keep if keep is not None else F.lit(False))
+
+
+def mixture_thresholds(
+    counts: dict[str, int],
+    target_weights: dict[str, float],
+    total_rows: int,
+) -> dict[str, int]:
+    """The keep-threshold arithmetic of `mixture_sample`, exposed so an
+    external replay (e.g. a SQL oracle embedding the cuts as literals)
+    shares the EXACT float ops and Python half-even int(round()) by
+    construction — SQL round() is half-away-from-zero, so re-deriving
+    the cuts engine-side would drift on exact .5 boundaries."""
     total_w = sum(target_weights.values())
-    fracs = {}
+    out = {}
     for src, wgt in target_weights.items():
         want = total_rows * (wgt / total_w)
         have = counts.get(src, 0)
-        fracs[src] = min(want / have, 1.0) if have else 0.0
-    b = _bucket(id_col, seed, hash_family)
-    keep = None
-    for src, frac in fracs.items():
-        cond = (F.col(source_col) == src) & (
-            b < int(round(frac * _RES))
-        )
-        keep = cond if keep is None else keep | cond
-    return df.where(keep if keep is not None else F.lit(False))
+        frac = min(want / have, 1.0) if have else 0.0
+        out[src] = int(round(frac * _RES))
+    return out

@@ -740,7 +740,6 @@ def pmi_collocations(
         .where(F.col("c_ab") >= min_count)
         .withColumn("w1", F.split(F.col("bigram"), " ")[0])
         .withColumn("w2", F.split(F.col("bigram"), " ")[1])
-        .localCheckpoint(eager=True)  # feeds N agg and both unigram joins
     )
     uni = (
         df.select(F.explode(words).alias("w"))
