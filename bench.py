@@ -179,6 +179,9 @@ def run_default() -> dict:
     timed("unigram_xent", E.q_unigram_xent)
     timed("cms_token_estimates", E.q_cms_token_estimates)
     timed("hll_tier_1h", E.q_hll_tier_1h)
+    timed("pmi_collocations", E.q_pmi_collocations)
+    timed("source_kl", E.q_source_kl)
+    timed("curation_pipeline", E.q_curation_pipeline)
 
     # full-table ExactSubstr signal on the fast xxhash64 family (the
     # driver-gated md5 variant runs a slice for oracle-cost reasons)
