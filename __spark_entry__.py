@@ -35,10 +35,49 @@ SEQ_CACHE = "/root/repo/.cache"
 SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
 
 
+#: Tables whose queries do heavy PRE-shuffle work per row (tokenize /
+#: shingle / regex over text, vector arithmetic over embeddings) — the
+#: ones where a row-group-bound narrow scan serializes the whole
+#: computation. Numeric fact tables (events, lineitem, orders) are NOT
+#: listed: their first operator is an aggregate/join exchange that
+#: already parallelizes the heavy work, so a rebalance would add an
+#: exchange without unserializing anything (measured +0.9 s on
+#: rollup_events_1h at sf1.0).
+_REBALANCE_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # window arithmetic and the DuckDB oracle both assume naive==UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _REBALANCE_TABLES:
+        df = _rebalance_scan(spark, df)
+    return df
+
+
+def _rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fix row-group-bound scan parallelism (optimization guide §2.5,
+    "one huge unsplittable file ... repartition immediately after the
+    read"). Spark assigns whole parquet row groups to splits, and the
+    driver's sf tables are written as a single row group per file — so
+    without this, EVERY pre-shuffle operator (tokenize/shingle/explode,
+    Arrow UDF passes, map-side partial aggregation) runs in ONE task no
+    matter how many cores the session has (measured: minhash_near_dups
+    23.6 s single-task vs 4.4 s rebalanced at sf1.0 on local[32]).
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism and the branch only fires when the scan
+    is NARROWER than that — a production-scale input with thousands of
+    row groups already scans wide and passes through untouched (no extra
+    exchange at 100 TB). Results are partitioning-independent: every
+    query either aggregates with order-independent arithmetic (integer
+    micro-sums, round_bin'd quotients of exact integer counts) or runs
+    the pow2-padded kernels that are bit-identical under any
+    partitioning (CLAUDE.md invariant)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _ensure_sequences(sf_base: str) -> str:

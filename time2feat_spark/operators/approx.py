@@ -316,9 +316,13 @@ def hll_tier_rollup(
         "m",
     )
     finest = out
+    prev_name, prev_sec = name0, sec0
     for name, sec in tiers_sec[1:]:
-        if (sec * 1000) % (sec0 * 1000):
-            raise ValueError(f"tier {name} is not a multiple of {name0}")
+        # each tier must nest in the PREVIOUS one (not just the finest):
+        # the cascade below merges tier-to-tier, so [1m, 2m, 3m] (3m not
+        # a multiple of 2m) must be rejected, not silently mis-merged
+        if (sec * 1000) % (prev_sec * 1000):
+            raise ValueError(f"tier {name} is not a multiple of {prev_name}")
         # F.floor, NOT cast('long'): the cast truncates toward zero, so
         # pre-1970 (negative) windows would merge into the wrong coarser
         # window — same floor-division rule as plans/router.aggregate_range
@@ -334,4 +338,11 @@ def hll_tier_rollup(
                     "window_start_ms", bucket_col, "m")
         )
         out = out.unionByName(coarser)
+        # advance the cascade: the NEXT tier merges from THIS one, so a
+        # 1m->1h->1d ladder aggregates 1h registers into 1d (60 rows per
+        # output row) instead of re-aggregating all 1m rows (1440) —
+        # register max over the nested grid is associative, so the
+        # result is bit-identical (pytest asserts cascade == direct)
+        finest = coarser
+        prev_name, prev_sec = name, sec
     return out

@@ -192,29 +192,48 @@ def minhash_near_duplicates(
             for bi in range(bands)
         ]
     )
-    buckets = (
-        sig.select("id", F.explode(band_rows).alias("b"))
-        .select("id", "b.band_id", "b.band_hash")
-        .localCheckpoint(eager=True)  # self-joined below
+    buckets = sig.select("id", F.explode(band_rows).alias("b")).select(
+        "id", "b.band_id", "b.band_hash"
+    )
+    # candidate pairs per bucket via ONE map-side-combinable groupBy
+    # instead of a bucket self-join (r6): collect each bucket's ids
+    # (sorted, so pair order and output are layout-independent) and emit
+    # the i<j combinations with array transforms — one exchange keyed on
+    # (band_id, band_hash) replaces two checkpoint scans + a join, and
+    # the buckets frame no longer needs its own localCheckpoint. State
+    # per bucket is O(|bucket|) and pairs O(|bucket|^2) — exactly the
+    # candidate set the join produced; bucket sizes stay bounded by
+    # near-dup cluster sizes, the same argument as before.
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     pairs = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the (distinct) shingle sets —
+    # one array_intersect per pair instead of intersect + union (r6:
+    # halves the per-pair array work, bit-identical integer arithmetic);
+    # _inter is projected first so the intersect runs once per pair
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sa"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sb"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sa", "sb"))
-            / F.size(F.array_union("sa", "sb")),
+            F.col("_inter")
+            / (F.size("sa") + F.size("sb") - F.col("_inter")),
         )
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", round2(F.col("jaccard"), 7, 4).alias("jaccard"))
