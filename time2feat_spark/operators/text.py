@@ -480,10 +480,15 @@ def word_ngrams(t: Column, n: int) -> Column:
     5.0 s for the corpus bigram aggregate) because each shift is ONE
     array op instead of one slice allocation per gram position. The
     slice length is clamped to >= 0 (negative length raises; 0 yields
-    the empty array for docs shorter than n words)."""
+    the empty array for docs shorter than n words).
+
+    Each shifted slice is aliased explicitly before zipping: arrays_zip
+    derives struct field names from its input EXPRESSIONS, which for
+    non-attribute inputs is version-sensitive auto-numbering — the
+    alias pins '0'..'n-1' regardless of Spark version."""
     words = _words(t)
     m = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shifts = [F.slice(words, k + 1, m) for k in range(n)]
+    shifts = [F.slice(words, k + 1, m).alias(str(k)) for k in range(n)]
     zipped = F.arrays_zip(*shifts)
     return F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
@@ -559,28 +564,34 @@ def bm25_search(
     reported `score` re-scales and rounds to 4 decimals and is the sort
     key, doc id breaking ties.
 
-    Scale shape: term filter is pushed into the explode scan (only query
-    terms survive — the candidate set, not the corpus vocabulary, is
-    shuffled); corpus stats (N, avgdl) are one broadcast agg row; final
-    top-k is TakeOrdered (no global sort materialization)."""
+    Scale shape: the corpus is tokenized ONCE — a per-doc pass keeps
+    (id, dl, query-term hits) and is checkpointed, so the (N, avgdl)
+    stats agg and the postings explode both read the tiny per-doc frame
+    instead of re-tokenizing the corpus (r6: the stats branch was a
+    second full tokenize pass). Only query-term hits are ever exploded
+    (the candidate set, not the corpus vocabulary, is shuffled); corpus
+    stats are one broadcast agg row; final top-k is TakeOrdered (no
+    global sort materialization)."""
     terms = [t.lower() for t in query_terms]
     words = _words(F.col(text_col))
-    base = df.select(
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    perdoc = df.select(
         F.col(id_col),
         F.size(words).alias("dl"),
-        F.explode(words).alias("term"),
-    ).where(F.col("term").isin(terms))
-    # post-filter postings are tiny (<= docs x |query|); checkpoint so the
-    # df_t branch does not re-scan the corpus (same reuse rule as tfidf)
+        F.filter(words, lambda w: F.array_contains(terms_lit, w)).alias(
+            "_hits"
+        ),
+    ).localCheckpoint(eager=True)  # ONE tokenize: feeds stats AND postings
     tf = (
-        base.groupBy(id_col, "dl", "term")
+        perdoc.select(F.col(id_col), "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = df.select(
+    # avg over an exact integer sum/count — partitioning-independent
+    stats = perdoc.agg(
         F.count_distinct(F.col(id_col)).alias("_n"),
-        F.avg(F.size(_words(F.col(text_col)))).alias("_avgdl"),
+        F.avg(F.col("dl")).alias("_avgdl"),
     )
     idf = F.log((F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1)
     s = (
@@ -736,16 +747,23 @@ def pmi_collocations(
     Ranked on the ROUNDED score (ties: bigram asc) so engines order
     identically. Scale shape: two explode+aggregate passes (bigrams,
     unigrams) joined on the word keys — map-side combined, vocabulary-
-    keyed exchanges only; top-k is TakeOrdered."""
+    keyed exchanges only; top-k is TakeOrdered. The bigram pass groups
+    on the (w1, w2) word PAIR and builds the "w1 w2" display string
+    only for the groups that survive the support floor (r6) — the
+    previous form concatenated a bigram string per corpus position and
+    then re-split it per surviving group, so every occurrence paid a
+    string allocation that the aggregate immediately discarded."""
     words = _words(F.col(text_col))
-    grams = word_ngrams(F.col(text_col), 2)
+    m2 = F.greatest(F.size(words) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(words, 1, m2).alias("0"), F.slice(words, 2, m2).alias("1")
+    )
     big = (
-        df.select(F.explode(grams).alias("bigram"))
-        .groupBy("bigram")
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= min_count)
-        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
-        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
     )
     uni = (
         df.select(F.explode(words).alias("w"))
