@@ -120,3 +120,36 @@ def test_token_window_dup_frac_hand_truth(spark):
         assert out["d2"]["dup_frac"] == pytest.approx(0.3333)
         assert out["d3"]["n_windows"] == 0 and out["d3"]["dup_frac"] is None
         assert out["d4"]["n_dup_windows"] == 3 and out["d4"]["dup_frac"] == 1.0
+
+
+def test_token_window_dup_frac_hot_run_no_window_exec(spark):
+    """r6 de-skew: a single boilerplate run repeated across MANY docs
+    must not funnel into one WindowExec task. The multiplicity tag is a
+    two-level aggregate + join (AQE can split a skewed join; it cannot
+    split a Window exchange) — assert the plan carries no Window node
+    and the counts stay exact on a planted hot run."""
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.operators.dedup import token_window_dup_frac
+
+    n_docs = 20_000
+    # every doc = the SAME 3-token run + one unique suffix token
+    df = (
+        spark.range(n_docs)
+        .select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+            F.array(
+                F.lit(1), F.lit(2), F.lit(3), F.col("id").cast("int") + 10
+            ).alias("tokens"),
+        )
+        .repartition(8)
+    )
+    out = token_window_dup_frac(df, window=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "multiplicity tag regressed to WindowExec"
+    rows = out.collect()
+    assert len(rows) == n_docs
+    # per doc: windows (1,2,3) and (2,3,uniq); only the first is global-dup
+    for r in rows[:50]:
+        assert r["n_windows"] == 2 and r["n_dup_windows"] == 1
+        assert r["dup_frac"] == pytest.approx(0.5)

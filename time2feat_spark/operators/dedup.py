@@ -451,18 +451,19 @@ def token_window_dup_frac(
     Scale shape: the paper's suffix array is single-node; the
     distributed equivalent is windowed hashing — hash runs scan-side
     (JVM concat + hash inside whole-stage codegen, no token strings
-    leave the scan), then ONE exchange keyed on the run hash where a
-    partition-key count window (no self-join, no second scan of the
-    lineage) tags each occurrence with its global multiplicity, then the
-    doc-keyed aggregate. Skewed hashes (a run repeated millions of
-    times) are bounded by AQE skew splitting plus the fact that only a
-    count crosses the doc aggregate.
+    leave the scan), then a TWO-LEVEL aggregate: (doc, run-hash)
+    occurrence counts first (map-side combined, so a boilerplate run
+    repeated millions of times inside one doc collapses before any
+    exchange), then per-hash global multiplicities, and the duplicated
+    hashes are re-attached with a JOIN — which AQE's skew handling CAN
+    split at runtime. (The pre-r6 form tagged multiplicity with a count
+    over Window.partitionBy(wh); AQE skew mitigation applies to shuffle
+    joins, NOT WindowExec, so one hot run-hash funneled every
+    occurrence into a single window task.)
 
     hash_family='md5' switches to the cross-engine md5_64 family
     (CLAUDE.md: the only hash DuckDB replays) so a SQL oracle can verify
     value-exactly; xxhash64 is the fast default (~3x cheaper)."""
-    from pyspark.sql import Window
-
     from ..functions.hashing import md5_64
 
     toks = F.col(tokens_col)
@@ -484,12 +485,34 @@ def token_window_dup_frac(
     ex = df.select(
         F.col(id_col), F.explode(F.transform(idx, _h)).alias("wh")
     )
-    tagged = ex.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    # per-(doc, hash) occurrence counts; reused by the global-multiplicity
+    # aggregate AND the re-attach join — localCheckpoint, not cache()
+    # (CLAUDE.md: checkpoint blocks are reclaimed by the ContextCleaner)
+    exd = (
+        ex.groupBy(id_col, "wh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
-    per = tagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum((F.col("c") >= min_count).cast("long")).alias("n_dup_windows"),
+    # only hashes that ARE duplicated come back — usually a small
+    # fraction, so AQE turns the re-attach into a broadcast join; when
+    # the dup set is large it stays a shuffle join, where AQE skew
+    # splitting bounds hot hashes
+    dup_whs = (
+        exd.groupBy("wh")
+        .agg(F.sum("_cnt").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("wh", F.lit(1).alias("_dup"))
+    )
+    per = (
+        exd.join(dup_whs, "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dup").isNotNull(), F.col("_cnt"))),
+                F.lit(0),
+            ).alias("n_dup_windows"),
+        )
     )
     frac = round2(
         F.try_divide(F.col("n_dup_windows"), F.col("n_windows")), 7, 4

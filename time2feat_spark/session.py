@@ -20,13 +20,23 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # token arrays average ~4 KB; 1024 rows/batch keeps each kernel's padded
-    # window matrices ~100-150 MB — larger batches (e.g. one 7500-doc split)
-    # allocate GB-sized temporaries that blow caches and halve throughput
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # Arrow batches are bounded by BYTES (Spark 4's direct knob), not a
+    # row count: token arrays average ~4 KB, so a 4 MB cap yields the
+    # same ~1k-row batches that keep each kernel's padded window
+    # matrices ~100-150 MB (the old maxRecordsPerBatch=1024 invariant),
+    # while SCALAR point rows (~16-40 B) now cross in ~100-250k-row
+    # batches instead of 1024 — the row-count cap made every 1M-point
+    # rollup pay ~1000 tiny Arrow batch round-trips per partition
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(4 * 1024 * 1024),
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1048576",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.sql.parquet.compression.codec": "zstd",
+    # snappy, not zstd (r6): the engine's dominant write payload is
+    # Gorilla-compressed binary columns — already high-entropy, so zstd
+    # doubled the ladder write wall for a ~25% file-size win (measured
+    # /dev/shm, 313 MB raw: zstd 15.5 s/216 MB vs snappy 7.4 s/298 MB).
+    # Gorilla IS the compression layer; the parquet codec is a wrapper.
+    "spark.sql.parquet.compression.codec": "snappy",
     "spark.driver.memory": "8g",
 }
 
