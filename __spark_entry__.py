@@ -35,27 +35,35 @@ SEQ_CACHE = "/root/repo/.cache"
 SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
 
 
-#: Tables whose queries do heavy PRE-shuffle work per row (tokenize /
-#: shingle / regex over text, vector arithmetic over embeddings) — the
-#: ones where a row-group-bound narrow scan serializes the whole
-#: computation. Numeric fact tables (events, lineitem, orders) are NOT
-#: listed: their first operator is an aggregate/join exchange that
-#: already parallelizes the heavy work, so a rebalance would add an
-#: exchange without unserializing anything (measured +0.9 s on
-#: rollup_events_1h at sf1.0).
-_REBALANCE_TABLES = {"documents", "embeddings"}
+#: path|parallelism -> scan partition count. Pure PLANNING metadata of an
+#: immutable input file (never results): probing it costs a ~0.1 s
+#: Python->JVM RDD conversion, which dominates sub-second queries when
+#: paid on every call.
+_SCAN_PARTS: dict[str, int] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, balance: bool = False
+) -> DataFrame:
+    """Read one sf table. ``balance=True`` rebalances a row-group-bound
+    narrow scan (see _rebalance_scan) — opt IN per query, because the
+    decision is about the QUERY's pre-shuffle compute, not the table:
+    shingling/tokenize/vector passes win 3-8x from it, while queries
+    whose first real operator is an aggregate exchange (one md5 + group,
+    hash-threshold splits, one regexp chain) only pay the extra exchange
+    (measured: dedup_exact 0.37 -> 0.90 s WITH a forced rebalance at
+    sf1.0, minhash_near_dups 23.6 -> 4.4 s)."""
     # window arithmetic and the DuckDB oracle both assume naive==UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _REBALANCE_TABLES:
-        df = _rebalance_scan(spark, df)
+    if balance:
+        df = _rebalance_scan(spark, df, f"{sf_dir}/{name}.parquet")
     return df
 
 
-def _rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _rebalance_scan(
+    spark: SparkSession, df: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Fix row-group-bound scan parallelism (optimization guide §2.5,
     "one huge unsplittable file ... repartition immediately after the
     read"). Spark assigns whole parquet row groups to splits, and the
@@ -75,7 +83,13 @@ def _rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     the pow2-padded kernels that are bit-identical under any
     partitioning (CLAUDE.md invariant)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = f"{cache_key}|{target}" if cache_key else None
+    nparts = _SCAN_PARTS.get(key) if key else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key:
+            _SCAN_PARTS[key] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -908,7 +922,7 @@ FROM documents
 
 
 def q_embedding_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", balance=True)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -953,7 +967,7 @@ def q_minhash_near_dups(spark, sf_dir):
     ~1 (8 bands x 8 rows, threshold (1/8)^(1/8) = 0.77; every pair above
     0.5 in this corpus is a planted dup at j >= 0.93), so the LSH output
     equals the exact all-pairs answer the SQL computes."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", balance=True)
     return D.minhash_near_duplicates(d, min_jaccard=0.5)
 
 
@@ -991,7 +1005,7 @@ def q_dedup_clusters(spark, sf_dir):
     step between LSH pair generation and canonical-doc selection.
     Oracle: DuckDB recursive-CTE transitive closure over the same
     exact-Jaccard pair set."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", balance=True)
     pairs = D.minhash_near_duplicates(d, min_jaccard=0.5)
     return D.near_duplicate_clusters(pairs)
 
@@ -1910,7 +1924,7 @@ def q_heavy_hitters_tokens(spark, sf_dir):
     (tie-break: count desc, token asc)."""
     from time2feat_spark.operators.text import _words, heavy_hitters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", balance=True)
     toks = d.select(F.explode(_words(F.col("text"))).alias("tok"))
     return heavy_hitters(toks, "tok", 30)
 
@@ -2173,7 +2187,7 @@ def q_source_kl(spark, sf_dir):
     cross-engine equality."""
     from time2feat_spark.operators.text import source_kl_divergence
 
-    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+    return source_kl_divergence(_t(spark, sf_dir, "documents", balance=True))
 
 
 SQL_SOURCE_KL = r"""
@@ -2204,7 +2218,7 @@ def q_pmi_collocations(spark, sf_dir):
     rounded score with lexicographic tie-break."""
     from time2feat_spark.operators.text import pmi_collocations
 
-    return pmi_collocations(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+    return pmi_collocations(_t(spark, sf_dir, "documents", balance=True), k=20, min_count=5)
 
 
 SQL_PMI_COLLOCATIONS = r"""
@@ -2286,7 +2300,7 @@ def q_unigram_xent(spark, sf_dir):
     micro-scores so the tf-weighted sums are order-independent."""
     from time2feat_spark.operators.text import unigram_crossentropy
 
-    return unigram_crossentropy(_t(spark, sf_dir, "documents"))
+    return unigram_crossentropy(_t(spark, sf_dir, "documents", balance=True))
 
 
 SQL_UNIGRAM_XENT = r"""
@@ -2317,7 +2331,7 @@ def q_cms_token_estimates(spark, sf_dir):
     from time2feat_spark.operators.approx import cms_build, cms_lookup
     from time2feat_spark.operators.text import _words
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", balance=True)
     toks = d.select(
         F.explode(_words(F.col("text"))).alias("tok")
     ).localCheckpoint(eager=True)  # feeds both the sketch and the truth
@@ -2591,7 +2605,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     (ranked on the rounded score so both engines order identically)."""
     from time2feat_spark.operators.text import tfidf_top_terms
 
-    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+    return tfidf_top_terms(_t(spark, sf_dir, "documents", balance=True), k=5)
 
 
 SQL_TFIDF_TOP_TERMS = r"""
@@ -2621,7 +2635,7 @@ def q_bm25_dbterms(spark, sf_dir):
     float reduction order cannot differ between engines."""
     from time2feat_spark.operators.text import bm25_search
 
-    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+    return bm25_search(_t(spark, sf_dir, "documents", balance=True), _BM25_TERMS, k=20)
 
 
 def _sql_bm25_dbterms() -> str:

@@ -485,32 +485,25 @@ def token_window_dup_frac(
     ex = df.select(
         F.col(id_col), F.explode(F.transform(idx, _h)).alias("wh")
     )
-    # per-(doc, hash) occurrence counts; reused by the global-multiplicity
-    # aggregate AND the re-attach join — localCheckpoint, not cache()
-    # (CLAUDE.md: checkpoint blocks are reclaimed by the ContextCleaner)
-    exd = (
-        ex.groupBy(id_col, "wh")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)
-    )
-    # only hashes that ARE duplicated come back — usually a small
-    # fraction, so AQE turns the re-attach into a broadcast join; when
-    # the dup set is large it stays a shuffle join, where AQE skew
-    # splitting bounds hot hashes
+    # global multiplicities: ONE hash-keyed aggregate whose map-side
+    # partial agg collapses a hot run to one row per input partition
+    # (the skew-shrinker WindowExec lacked); only hashes that ARE
+    # duplicated survive the filter, so the re-attach below is usually
+    # an AQE broadcast join — and when the dup set is large it stays a
+    # shuffle join, where AQE skew splitting bounds hot hashes
     dup_whs = (
-        exd.groupBy("wh")
-        .agg(F.sum("_cnt").alias("_c"))
+        ex.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_count)
         .select("wh", F.lit(1).alias("_dup"))
     )
     per = (
-        exd.join(dup_whs, "wh", "left")
+        ex.join(dup_whs, "wh", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("_cnt").alias("n_windows"),
-            F.coalesce(
-                F.sum(F.when(F.col("_dup").isNotNull(), F.col("_cnt"))),
-                F.lit(0),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.col("_dup").isNotNull().cast("long")
             ).alias("n_dup_windows"),
         )
     )
