@@ -41,9 +41,24 @@ SEQ_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 15000}
 #: paid on every call.
 _SCAN_PARTS: dict[str, int] = {}
 
+#: below this compressed input size a rebalance does not pay: the
+#: exchange's fixed cost (~0.2-0.3 s: shuffle round + 32-task stage)
+#: exceeds the single-task compute it parallelizes (measured at sf0.1,
+#: 0.6 MB documents: tfidf +0.86 s, bm25 +0.60 s WITH rebalance; at
+#: sf1.0, 5.7 MB: minhash -19 s WITHOUT it). Size-adaptive, not
+#: SF-specific — any input past a few MB of compressed text is worth
+#: spreading.
+_REBALANCE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(4 << 20))
+)
+
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, balance: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    balance: bool = False,
+    balance_min_bytes: int | None = None,
 ) -> DataFrame:
     """Read one sf table. ``balance=True`` rebalances a row-group-bound
     narrow scan (see _rebalance_scan) — opt IN per query, because the
@@ -55,9 +70,13 @@ def _t(
     sf1.0, minhash_near_dups 23.6 -> 4.4 s)."""
     # window arithmetic and the DuckDB oracle both assume naive==UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if balance:
-        df = _rebalance_scan(spark, df, f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    min_bytes = (
+        _REBALANCE_MIN_BYTES if balance_min_bytes is None else balance_min_bytes
+    )
+    if balance and os.path.getsize(path) >= min_bytes:
+        df = _rebalance_scan(spark, df, path)
     return df
 
 
@@ -967,7 +986,7 @@ def q_minhash_near_dups(spark, sf_dir):
     ~1 (8 bands x 8 rows, threshold (1/8)^(1/8) = 0.77; every pair above
     0.5 in this corpus is a planted dup at j >= 0.93), so the LSH output
     equals the exact all-pairs answer the SQL computes."""
-    d = _t(spark, sf_dir, "documents", balance=True)
+    d = _t(spark, sf_dir, "documents", balance=True, balance_min_bytes=0)
     return D.minhash_near_duplicates(d, min_jaccard=0.5)
 
 
@@ -1005,7 +1024,7 @@ def q_dedup_clusters(spark, sf_dir):
     step between LSH pair generation and canonical-doc selection.
     Oracle: DuckDB recursive-CTE transitive closure over the same
     exact-Jaccard pair set."""
-    d = _t(spark, sf_dir, "documents", balance=True)
+    d = _t(spark, sf_dir, "documents", balance=True, balance_min_bytes=0)
     pairs = D.minhash_near_duplicates(d, min_jaccard=0.5)
     return D.near_duplicate_clusters(pairs)
 
@@ -2279,6 +2298,14 @@ def q_mixture_sample(spark, sf_dir):
 
 
 def _sql_mixture_sample(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # NOTE (r5 ADVICE): this builder (and _sql_semantic_dedup) bakes
+    # sf0.01-derived literals at import time, so oracle_sql() is
+    # sf0.01-only for these two queries — running the gate replica at
+    # another SF via SPARK_GRAFT_ORACLE_SF_DIR would produce false
+    # mismatches for them alone. Kept literal (not env-derived) on
+    # purpose: the driver fingerprints oracle SQL text against the
+    # round-start copy, so conditionally changing the text is the
+    # riskier direction.
     cases = " ".join(
         f"WHEN source = '{s}' THEN bk < {t}"
         for s, t in _mix_thresholds(sf_dir).items()

@@ -106,7 +106,15 @@ def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
     """Cardinality estimate per key group from a register table.
 
     sum_j 2^(-M_j) over ALL m=64 registers: absent buckets contribute
-    2^0 = 1 each (V of them), which is also the linear-counting V."""
+    2^0 = 1 each (V of them), which is also the linear-counting V.
+
+    Exactness bound (r5 ADVICE): the float sum of 2^(-m) terms is
+    rounding-free (hence order-independent across engines) only while
+    max(m) - min(m) <= ~52 within a key group — a register pair like
+    m=1 and m=55 would make the sum order-dependent. Reaching that
+    spread needs ~2^49 values in one 64-register group, so it is a
+    theoretical edge, not a live path; if such scales ever matter, sum
+    registers as exact integers scaled by 2^RHO_MAX and divide once."""
     agg = registers.groupBy(*key_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s_used"),
         F.count(F.lit(1)).alias("_nb"),
