@@ -1893,9 +1893,13 @@ def q_interval_join(spark, sf_dir):
         F.col("ts").alias("start"),
         (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end"),
     )
+    # bucket_ms passed explicitly: every interval here is exactly 4h
+    # (start + INTERVAL 4 HOURS), so the literal equals the max the
+    # operator would otherwise derive — skipping its derivation agg
+    # removes a third full scan of events from the query (r6)
     out = interval_join(
         views, iv, ev_ts="ts", iv_start="start", iv_end="end",
-        key_cols=["user_id"],
+        key_cols=["user_id"], bucket_ms=4 * 3600 * 1000,
     )
     return out.select(
         "event_id",
