@@ -153,3 +153,41 @@ def test_token_window_dup_frac_hot_run_no_window_exec(spark):
     for r in rows[:50]:
         assert r["n_windows"] == 2 and r["n_dup_windows"] == 1
         assert r["dup_frac"] == pytest.approx(0.5)
+
+
+def test_minhash_bucket_pairs_equal_self_join(spark):
+    """r6: LSH candidate pairs come from a per-bucket sorted collect_list
+    + i<j array combinations instead of a bucket self-join. On a corpus
+    with planted duplicate groups, the operator's output must equal the
+    exact all-pairs answer (banding recall 1 for identical docs), with
+    a 4-clique contributing C(4,2)=6 pairs at jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from time2feat_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    texts = []
+    # group A: 4 identical docs -> 6 pairs at 1.0
+    for i in range(4):
+        texts.append((i, "the quick brown fox jumps over the lazy dog " * 4))
+    # group B: 2 identical docs -> 1 pair at 1.0
+    for i in range(4, 6):
+        texts.append((i, "pack my box with five dozen liquor jugs today " * 4))
+    # unrelated singletons
+    texts.append((6, "completely different content about spark shuffles"))
+    texts.append((7, "unrelated text concerning gorilla compression blocks"))
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates(df, min_jaccard=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+    }
+    assert got == want
+    a_pairs = {k for k in got if k[0] < 4 and k[1] < 4}
+    assert len(a_pairs) == 6 and all(got[k] == 1.0 for k in a_pairs)
+    assert got[(4, 5)] == 1.0
