@@ -164,3 +164,38 @@ def test_change_quantiles_full_grid_property(vals):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (
                 f"{name}: {g} != {w}"
             )
+
+
+def test_stats_ragged_blocking_bit_identical():
+    """r6 cache-blocking: stats_ragged splits each pow2 bucket's windows
+    into ~2 MB row blocks. Per-window reductions are row-local, so the
+    output must be bit-for-bit identical to an unblocked pass (forced
+    via a huge block budget), including ragged tail windows."""
+    import numpy as np
+
+    from time2feat_spark.functions.kernels import ROLLUP_FEATURES
+    from time2feat_spark.operators import rollup as R
+
+    rng = np.random.default_rng(7)
+    n_docs, n_tok, tt = 300, 1056, 60
+    flat = rng.normal(10, 3, n_docs * n_tok)
+    # sprinkle NaN VALUES so blocks mix the fast and nan-aware paths
+    flat[rng.integers(0, len(flat), 500)] = np.nan
+    nw = (n_tok + tt - 1) // tt
+    starts = np.concatenate(
+        [d * n_tok + np.arange(nw) * tt for d in range(n_docs)]
+    )
+    ends = np.minimum(
+        starts + tt, np.repeat(np.arange(1, n_docs + 1) * n_tok, nw)
+    )
+    feats = list(ROLLUP_FEATURES)
+    blocked = R.stats_ragged(flat, starts, ends, feats)
+    orig_budget = R._STATS_BLOCK_BYTES
+    try:
+        R._STATS_BLOCK_BYTES = 1 << 40  # one block == the old behavior
+        unblocked = R.stats_ragged(flat, starts, ends, feats)
+    finally:
+        R._STATS_BLOCK_BYTES = orig_budget
+    assert set(blocked) == set(unblocked)
+    for nm in blocked:
+        assert np.array_equal(blocked[nm], unblocked[nm], equal_nan=True), nm

@@ -68,6 +68,19 @@ def _next_pow2(x: np.ndarray) -> np.ndarray:
     return np.power(2, np.ceil(np.log2(np.maximum(x, 1))).astype(np.int64))
 
 
+#: row-block budget for one padded matrix inside stats_ragged (bytes).
+#: The multi-feature pass re-reads the matrix (and feature temporaries)
+#: ~dozens of times; blocking windows so each matrix is ~2 MB keeps that
+#: traffic cache-resident instead of streaming a 10-100 MB matrix from
+#: DRAM per feature — measured 15% single-threaded, more under the
+#: 32-worker DRAM contention this box saturates at (CLAUDE.md).
+#: Values are UNCHANGED by construction: every window's statistics
+#: depend only on its own (pow2-padded) row, so splitting the rows of a
+#: bucket into blocks leaves each per-window reduction tree identical
+#: (asserted bit-for-bit in test_kernels.py::test_stats_ragged_blocking).
+_STATS_BLOCK_BYTES = 2 << 20
+
+
 def stats_ragged(
     flat: np.ndarray,
     starts: np.ndarray,
@@ -83,22 +96,27 @@ def stats_ragged(
         return {nm: np.empty(0) for nm in names}
     buckets = _next_pow2(counts)
     for b in np.unique(buckets):
-        sel = np.nonzero(buckets == b)[0]
+        sel_all = np.nonzero(buckets == b)[0]
         w = int(b)
         col = np.arange(w)
-        idx = starts[sel][:, None] + col[None, :]
-        if (counts[sel] == w).all():
-            # full windows: plain gather, no padding mask needed
-            mat = flat[idx].astype(np.float64, copy=False)
-        else:
-            mask = col[None, :] < counts[sel][:, None]
-            mat = flat[np.where(mask, idx, 0)].astype(np.float64, copy=False)
-            mat = np.where(mask, mat, np.nan)
-        st = window_stats(mat, counts[sel], features)
-        if out is None:
-            out = {nm: np.empty(k, dtype=v.dtype) for nm, v in st.items()}
-        for nm, v in st.items():
-            out[nm][sel] = v
+        rows = max(256, _STATS_BLOCK_BYTES // (8 * w))
+        for off in range(0, len(sel_all), rows):
+            sel = sel_all[off:off + rows]
+            idx = starts[sel][:, None] + col[None, :]
+            if (counts[sel] == w).all():
+                # full windows: plain gather, no padding mask needed
+                mat = flat[idx].astype(np.float64, copy=False)
+            else:
+                mask = col[None, :] < counts[sel][:, None]
+                mat = flat[np.where(mask, idx, 0)].astype(
+                    np.float64, copy=False
+                )
+                mat = np.where(mask, mat, np.nan)
+            st = window_stats(mat, counts[sel], features)
+            if out is None:
+                out = {nm: np.empty(k, dtype=v.dtype) for nm, v in st.items()}
+            for nm, v in st.items():
+                out[nm][sel] = v
     assert out is not None
     return out
 
